@@ -1,0 +1,505 @@
+"""Wavefront mesh path tracer with NEE (RIS) + MIS.
+
+TPU-native re-design of the reference's OptiX megakernel path
+(SURVEY.md §3.2): the per-thread ``do { rtTrace; shade; shadow rtTrace }``
+becomes a fused per-iteration wavefront step over a flat ray pool —
+BVH trace, attribute interpolation, masked shading-model dispatch,
+resampled next-event estimation (RIS over ``next_event_sample_count``
+candidates with toroidally-shifted stratified offsets, MonteCarlo.cu:91-123),
+balance-heuristic MIS (MonteCarlo.h:20-35), shadow trace, and BSDF sampling
+— with the reference's firefly clamps and path-regularization hook.
+
+RNG is Owen-scrambled Sobol keyed by (accumulation, pixel_hash,
+8·bounce + dim) exactly as the reference (Types.h:422-427, 452-459).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bifrost3d_tpu.geometry.traverse import intersect_bvh, intersect_bvh_any
+from bifrost3d_tpu.lights.analytic import (
+    _ray_sphere_t,
+    evaluate_light,
+    light_pdf,
+    sample_light,
+)
+from bifrost3d_tpu.lights.environment import (
+    environment_evaluate,
+    environment_pdf,
+)
+from bifrost3d_tpu.lights.types import LIGHT_SPHERE, LIGHT_SPOT
+from bifrost3d_tpu.math.vec import dot, normalize, reflect, to_local, to_world
+from bifrost3d_tpu.sampling.hashes import pcg2d
+from bifrost3d_tpu.sampling.sobol import Dimension, path_rng_4d
+from bifrost3d_tpu.scene.camera import PinholeCamera, camera_ray_directions
+from bifrost3d_tpu.scene.materials import (
+    FLAG_CUTOUT,
+    FLAG_THIN_WALLED,
+    SHADING_DIFFUSE,
+    SHADING_TRANSMISSIVE,
+)
+from bifrost3d_tpu.scene.render_scene import RenderScene
+from bifrost3d_tpu.shading.default_shading import DefaultShading
+from bifrost3d_tpu.shading.diffuse_shading import DiffuseShading
+from bifrost3d_tpu.shading.transmissive_shading import TransmissiveShading
+
+
+class RenderSettings(NamedTuple):
+    """Per-camera settings (Renderer.h:47-63, PublicTypes.h:40-45)."""
+
+    max_bounce_count: int = 4
+    next_event_sample_count: int = 3
+    path_regularization_scale: float = 0.0   # 0 = off
+    path_regularization_decay: float = 0.0
+    firefly_clamp: float = 4.0               # throughput clamp at light hits
+    delta_light_clamp: float = 32.0          # f clamp for delta-light × specular
+
+
+def _reverse_halton_offsets(count: int = 8) -> np.ndarray:
+    """4D reverse-Halton toroidal-shift offsets (Renderer.cpp:323-336).
+
+    Offset 0 is (0,0,0,0) so the first RIS candidate uses the base sample.
+    """
+    primes = [2, 3, 5, 7]
+
+    def reverse_halton(p, i):
+        h, f = 0.0, 1.0 / p
+        fct = f
+        while i > 0:
+            digit = i % p
+            h += (0 if digit == 0 else p - digit) * fct
+            i //= p
+            fct *= f
+        return h
+
+    out = np.zeros((count, 4), np.float32)
+    for i in range(count):
+        # ReverseHalton(index).sample4f() consumes primes 2,3,5,7 in order.
+        out[i] = [reverse_halton(p, i) for p in primes]
+    return out
+
+
+_RIS_OFFSETS = jnp.asarray(_reverse_halton_offsets(8))
+
+
+def mis_weight(pdf1, pdf2):
+    """Balance heuristic with inf/NaN handling (MonteCarlo.h:20-25)."""
+    divisor = pdf1 + pdf2
+    result = pdf1 / jnp.where(divisor == 0.0, 1.0, divisor)
+    invalid = jnp.isinf(divisor) | jnp.isnan(result)
+    return jnp.where(invalid, jnp.where(pdf1 <= pdf2, 0.0, 1.0), result)
+
+
+def _toroidal_shift(base, shift):
+    s = base + shift
+    return s - jnp.floor(s)
+
+
+def _fix_backfacing_shading_normal(w, n, target_cos=0.002):
+    """Utils.h fix_backfacing_shading_normal, vectorized."""
+    cos_theta = dot(w, n, keepdims=True)
+    fixed = normalize(n - (cos_theta - target_cos) * w)
+    return jnp.where(cos_theta < target_cos, fixed, n)
+
+
+# ---------------------------------------------------------------------------
+# Shading-model dispatch (masked evaluate-all — SURVEY.md §7.3 #3)
+# ---------------------------------------------------------------------------
+
+class _ShadingBundle(NamedTuple):
+    default: DefaultShading
+    diffuse: DiffuseShading
+    transmissive: TransmissiveShading
+    model: jnp.ndarray  # [...] int32
+
+
+def _create_shading(materials, mat_idx, cos_theta_o, min_roughness):
+    tint = materials.tint[mat_idx]
+    roughness = jnp.maximum(materials.roughness[mat_idx], min_roughness)
+    default = DefaultShading.create(
+        tint=tint,
+        roughness=roughness,
+        specularity=materials.specularity[mat_idx],
+        metallic=materials.metallic[mat_idx],
+        coat=materials.coat[mat_idx],
+        coat_roughness=jnp.maximum(
+            materials.coat_roughness[mat_idx], min_roughness),
+        abs_cos_theta_o=jnp.abs(cos_theta_o))
+    diffuse = DiffuseShading.create(tint=tint, roughness=roughness)
+    transmissive = TransmissiveShading.create(
+        tint=tint, roughness=roughness,
+        specularity=materials.specularity[mat_idx],
+        cos_theta_o=cos_theta_o)
+    return _ShadingBundle(default, diffuse, transmissive,
+                          materials.shading_model[mat_idx])
+
+
+def _shading_evaluate_with_pdf(b: _ShadingBundle, wo, wi):
+    rd = b.default.evaluate_with_pdf(wo, wi)
+    rf = b.diffuse.evaluate_with_pdf(wo, wi)
+    rt = b.transmissive.evaluate_with_pdf(wo, wi)
+    m = b.model
+    f = jnp.where(m[..., None] == SHADING_DIFFUSE, rf.reflectance,
+                  jnp.where(m[..., None] == SHADING_TRANSMISSIVE,
+                            rt.reflectance, rd.reflectance))
+    pdf = jnp.where(m == SHADING_DIFFUSE, rf.pdf,
+                    jnp.where(m == SHADING_TRANSMISSIVE, rt.pdf, rd.pdf))
+    return f, pdf
+
+
+def _shading_sample(b: _ShadingBundle, wo, u3):
+    sd = b.default.sample(wo, u3)
+    sf = b.diffuse.sample(wo, u3)
+    st = b.transmissive.sample(wo, u3)
+    m = b.model
+
+    def pick(field):
+        a = getattr(sd, field)
+        c = getattr(sf, field)
+        d = getattr(st, field)
+        mm = m[..., None] if a.ndim > m.ndim else m
+        return jnp.where(mm == SHADING_DIFFUSE, c,
+                         jnp.where(mm == SHADING_TRANSMISSIVE, d, a))
+
+    from bifrost3d_tpu.bsdf.types import BSDFSample
+    return BSDFSample(*(pick(f) for f in BSDFSample._fields))
+
+
+# ---------------------------------------------------------------------------
+# Light sampling (NEE with RIS)
+# ---------------------------------------------------------------------------
+
+def _sample_single_light(scene: RenderScene, bundle, position, wo, shading_normal,
+                         u3, settings: RenderSettings):
+    """One NEE candidate (MonteCarlo.cu:61-87): pick a light uniformly,
+    sample it, fold |N·L|/pdf, MIS weight, and the material response into
+    the radiance. Returns (direction, distance, weighted_radiance)."""
+    n_lights = scene.lights.count
+    has_env = scene.environment is not None
+    total = n_lights + (1 if has_env else 0)
+    if total == 0:
+        z = jnp.zeros(position.shape[:-1])
+        return position, z, jnp.zeros_like(position)
+
+    pick = jnp.minimum((u3[..., 2] * total).astype(jnp.int32), total - 1)
+
+    if n_lights > 0:
+        ls = sample_light(scene.lights, jnp.minimum(pick, n_lights - 1),
+                          position, u3[..., :2])
+    if has_env:
+        from bifrost3d_tpu.lights.environment import environment_sample
+        es = environment_sample(scene.environment, u3[..., :2])
+        if n_lights > 0:
+            is_env = pick == n_lights
+            from bifrost3d_tpu.lights.types import LightSample
+            ls = LightSample(
+                direction=jnp.where(is_env[..., None], es.direction, ls.direction),
+                distance=jnp.where(is_env, es.distance, ls.distance),
+                radiance=jnp.where(is_env[..., None], es.radiance, ls.radiance),
+                pdf=jnp.where(is_env, es.pdf, ls.pdf),
+                is_delta=jnp.where(is_env, es.is_delta, ls.is_delta))
+        else:
+            ls = es
+
+    radiance = ls.radiance * total  # account for uniform light pick
+
+    n_dot_l = dot(shading_normal, ls.direction)
+    safe_pdf = jnp.maximum(ls.pdf, 1e-12)
+    radiance = radiance * (jnp.abs(n_dot_l) / safe_pdf)[..., None]
+    radiance = jnp.where((ls.pdf > 0.0)[..., None], radiance, 0.0)
+
+    wi = to_local(ls.direction, shading_normal)
+    f, bsdf_pdf = _shading_evaluate_with_pdf(bundle, wo, wi)
+    # MIS for area lights; firefly clamp for delta lights (MonteCarlo.cu:79-84).
+    weight = jnp.where(ls.is_delta, 1.0, mis_weight(ls.pdf, bsdf_pdf))
+    f = jnp.where(ls.is_delta[..., None],
+                  jnp.minimum(f, settings.delta_light_clamp), f)
+    radiance = radiance * weight[..., None] * f
+    return ls.direction, ls.distance, radiance
+
+
+def _reestimated_light_samples(scene, bundle, position, wo, shading_normal,
+                               u4_base, settings: RenderSettings):
+    """RIS over next_event_sample_count candidates (MonteCarlo.cu:91-123)."""
+    direction = jnp.zeros_like(position)
+    distance = jnp.zeros(position.shape[:-1])
+    radiance = jnp.zeros_like(position)
+    for s in range(settings.next_event_sample_count):
+        u4 = _toroidal_shift(u4_base, _RIS_OFFSETS[s])
+        new_dir, new_dist, new_rad = _sample_single_light(
+            scene, bundle, position, wo, shading_normal, u4[..., :3], settings)
+        w_old = jnp.sum(radiance, axis=-1)
+        w_new = jnp.sum(new_rad, axis=-1)
+        p_new = w_new / jnp.maximum(w_old + w_new, 1e-20)
+        take = u4[..., 3] < p_new
+        direction = jnp.where(take[..., None], new_dir, direction)
+        distance = jnp.where(take, new_dist, distance)
+        radiance = jnp.where(
+            take[..., None], new_rad / jnp.maximum(p_new, 1e-20)[..., None],
+            radiance / jnp.maximum(1.0 - p_new, 1e-20)[..., None])
+        radiance = jnp.where((w_old + w_new > 0.0)[..., None], radiance, 0.0)
+    return direction, distance, radiance / settings.next_event_sample_count
+
+
+# ---------------------------------------------------------------------------
+# The wavefront step
+# ---------------------------------------------------------------------------
+
+def _intersect_analytic_lights(scene: RenderScene, origin, direction):
+    """Nearest sphere-light hit (the reference's analytic light geometry,
+    LightSources.cu:31-91). Returns (t [r], light_index [r])."""
+    if scene.lights.count == 0:
+        r = origin.shape[0]
+        return jnp.full(r, jnp.inf), jnp.full(r, -1, jnp.int32)
+    is_sphere = scene.lights.kind == LIGHT_SPHERE
+    t = _ray_sphere_t(origin[:, None, :], direction[:, None, :],
+                      scene.lights.position[None, :, :],
+                      scene.lights.radius[None, :])
+    t = jnp.where((t > 0) & is_sphere[None, :] & (scene.lights.radius[None, :] > 0),
+                  t, jnp.inf)
+    t_min = jnp.min(t, axis=1)
+    idx = jnp.argmin(t, axis=1).astype(jnp.int32)
+    return t_min, jnp.where(jnp.isfinite(t_min), idx, -1)
+
+
+class _PathState(NamedTuple):
+    origin: jnp.ndarray
+    direction: jnp.ndarray
+    throughput: jnp.ndarray
+    radiance: jnp.ndarray
+    bsdf_pdf: jnp.ndarray       # last BSDF pdf (for MIS); <= 0 disables MIS
+    bsdf_was_delta: jnp.ndarray
+    pixel_hash: jnp.ndarray
+    bounce: jnp.ndarray         # per-lane bounce counter
+    active: jnp.ndarray
+
+
+def _wavefront_step(scene: RenderScene, settings: RenderSettings,
+                    accumulation, state: _PathState) -> _PathState:
+    (origin, direction, throughput, radiance, bsdf_pdf, bsdf_was_delta,
+     pixel_hash, bounce, active) = state
+    eps = scene.scene_epsilon
+
+    hit = intersect_bvh(scene.bvh, scene.tri_verts, origin, direction,
+                        t_min=eps)
+    t_light, light_idx = _intersect_analytic_lights(scene, origin, direction)
+
+    light_first = t_light < hit.t
+    mesh_hit = active & hit.mask & ~light_first
+    light_hit = active & light_first
+    miss = active & ~hit.mask & ~light_first
+
+    # --- miss: environment (SimpleRGPs.cu:349-362) ---
+    if scene.environment is not None:
+        env_radiance = environment_evaluate(scene.environment, direction)
+        env_pdf = environment_pdf(scene.environment, direction)
+        use_mis = bsdf_pdf > 0.0
+        w = jnp.where(use_mis, mis_weight(bsdf_pdf, env_pdf), 1.0)
+        env_radiance = env_radiance * w[..., None]
+    else:
+        env_radiance = jnp.broadcast_to(scene.environment_tint, direction.shape)
+    radiance = radiance + jnp.where(
+        miss[..., None], throughput * env_radiance, 0.0)
+
+    # --- analytic light hit (MonteCarlo.cu light_closest_hit) ---
+    if scene.lights.count > 0:
+        li = jnp.maximum(light_idx, 0)
+        l_radiance = evaluate_light(scene.lights, li, origin, direction)
+        l_pdf = light_pdf(scene.lights, li, origin, direction)
+        use_mis = bsdf_pdf > 0.0
+        w = jnp.where(use_mis, mis_weight(bsdf_pdf, l_pdf), 1.0)
+        clamped_T = jnp.minimum(throughput, settings.firefly_clamp)
+        radiance = radiance + jnp.where(
+            light_hit[..., None], clamped_T * l_radiance * w[..., None], 0.0)
+
+    # --- mesh hit shading ---
+    prim = jnp.maximum(hit.prim, 0)
+    v = scene.tri_verts[prim]
+    n = scene.tri_normals[prim]
+    uv = scene.tri_uvs[prim]
+    mat_idx = scene.tri_material[prim]
+    bary = jnp.stack([1.0 - hit.u - hit.v, hit.u, hit.v], axis=-1)
+
+    position = jnp.einsum("rk,rkc->rc", bary, v)
+    shading_normal = normalize(jnp.einsum("rk,rkc->rc", bary, n))
+    texcoord = jnp.einsum("rk,rkc->rc", bary, uv)
+    geo_normal = normalize(jnp.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]))
+
+    flags = scene.materials.flags[mat_idx]
+    thin_walled = (flags & FLAG_THIN_WALLED) != 0
+    transmissive_model = scene.materials.shading_model[mat_idx] == SHADING_TRANSMISSIVE
+
+    hit_from_front = dot(geo_normal, direction) < 0.0
+    backside_cull = ~hit_from_front & ~thin_walled & ~transmissive_model
+
+    # Coverage / cutout (MonteCarlo.cu:152-164): stochastic transparency.
+    u_bsdf4 = path_rng_4d(accumulation, pixel_hash,
+                          bounce * Dimension.PER_BOUNCE + Dimension.BSDF)
+    coverage = scene.materials.coverage[mat_idx]
+    discard_coverage = coverage < u_bsdf4[..., 3]
+    passthrough = mesh_hit & (backside_cull | discard_coverage)
+
+    shade = mesh_hit & ~backside_cull & ~discard_coverage
+
+    # Flip normals to the side the ray came from.
+    geo_normal = jnp.where(hit_from_front[..., None], geo_normal, -geo_normal)
+    sn = jnp.where(hit_from_front[..., None], shading_normal, -shading_normal)
+    sn = _fix_backfacing_shading_normal(-direction, sn)
+
+    wo_world = -direction
+    wo = to_local(wo_world, sn)
+    cos_theta_o = jnp.where(hit_from_front | thin_walled, wo[..., 2], -wo[..., 2])
+
+    # Path regularization (MonteCarlo.cu:239-244).
+    if settings.path_regularization_scale > 0.0:
+        from bifrost3d_tpu.shading.fittings import estimate_ggx_alpha_from_max_pdf
+        from bifrost3d_tpu.bsdf.ggx import roughness_from_alpha
+        scale = settings.path_regularization_scale * (
+            1.0 + settings.path_regularization_decay
+            * accumulation.astype(jnp.float32))
+        max_pdf = bsdf_pdf * scale
+        min_alpha = estimate_ggx_alpha_from_max_pdf(
+            jnp.abs(cos_theta_o), jnp.maximum(max_pdf, 1e-3))
+        min_roughness = jnp.where(
+            bsdf_was_delta | (bsdf_pdf <= 0.0), 0.0,
+            roughness_from_alpha(min_alpha))
+    else:
+        min_roughness = jnp.zeros_like(cos_theta_o)
+
+    bundle = _create_shading(scene.materials, mat_idx, cos_theta_o, min_roughness)
+
+    # Surface emission.
+    emission = scene.materials.emission[mat_idx]
+    radiance = radiance + jnp.where(shade[..., None], throughput * emission, 0.0)
+
+    # --- NEE with RIS ---
+    u_nee = path_rng_4d(accumulation, pixel_hash,
+                        bounce * Dimension.PER_BOUNCE + Dimension.NEE)
+    l_dir, l_dist, l_radiance = _reestimated_light_samples(
+        scene, bundle, position, wo, sn, u_nee, settings)
+    l_radiance = l_radiance * throughput
+    shadow_origin = position + geo_normal * jnp.where(
+        dot(l_dir, geo_normal) >= 0, eps, -eps)[..., None] * 16.0
+    has_light = shade & (jnp.max(l_radiance, axis=-1) > 0.0)
+    occluded = intersect_bvh_any(
+        scene.bvh, scene.tri_verts, shadow_origin, l_dir,
+        t_min=eps, t_max=l_dist * (1.0 - 1e-4))
+    radiance = radiance + jnp.where(
+        (has_light & ~occluded)[..., None], l_radiance, 0.0)
+    nee_valid = jnp.sum(l_radiance, axis=-1) > 0.0
+
+    # --- BSDF sampling ---
+    s = _shading_sample(bundle, wo, u_bsdf4[..., :3])
+    new_dir_world = to_world(s.direction, sn)
+    is_reflection = s.direction[..., 2] >= 0.0
+    # Mirror if the sampled direction points into the geometry
+    # (MonteCarlo.cu:204-228).
+    cos_geo = dot(new_dir_world, geo_normal)
+    wrong_side = jnp.where(is_reflection, cos_geo < 0.0, cos_geo >= 0.0)
+    new_dir_world = jnp.where(
+        wrong_side[..., None], reflect(new_dir_world, geo_normal), new_dir_world)
+
+    valid_sample = s.pdf > 0.0
+    weight = jnp.where(
+        s.is_delta, 1.0 / jnp.maximum(s.pdf, 1e-12),
+        jnp.abs(s.direction[..., 2]) / jnp.maximum(s.pdf, 1e-12))
+    new_throughput = throughput * s.reflectance * weight[..., None]
+    new_throughput = jnp.where(valid_sample[..., None], new_throughput, 0.0)
+
+    new_origin = position + geo_normal * jnp.where(
+        dot(new_dir_world, geo_normal) >= 0, eps, -eps)[..., None] * 16.0
+
+    # MIS bookkeeping: pdf <= 0 disables MIS (delta bounce or no NEE).
+    new_bsdf_pdf = jnp.where(s.is_delta | ~nee_valid, 0.0, s.pdf)
+
+    # --- combine lane updates ---
+    # Passthrough lanes continue along the same direction past the surface.
+    pass_origin = position + direction * (2.0 * eps)[..., None] \
+        if jnp.ndim(eps) else position + direction * (2.0 * eps)
+
+    origin = jnp.where(shade[..., None], new_origin,
+                       jnp.where(passthrough[..., None], pass_origin, origin))
+    direction = jnp.where(shade[..., None], new_dir_world, direction)
+    throughput = jnp.where(shade[..., None], new_throughput, throughput)
+    bsdf_pdf = jnp.where(shade, new_bsdf_pdf, bsdf_pdf)
+    bsdf_was_delta = jnp.where(shade, s.is_delta, bsdf_was_delta)
+    bounce = jnp.where(shade, bounce + 1, bounce)
+    active = (active & ~miss & ~light_hit
+              & jnp.where(shade, jnp.max(throughput, axis=-1) > 0.0, True)
+              & (bounce <= settings.max_bounce_count))
+
+    return _PathState(origin, direction, throughput, radiance, bsdf_pdf,
+                      bsdf_was_delta, pixel_hash, bounce, active)
+
+
+# ---------------------------------------------------------------------------
+# Entry points
+# ---------------------------------------------------------------------------
+
+def render_sample_pixels(scene: RenderScene, camera: PinholeCamera,
+                         x, y, width: int, height: int, accumulation,
+                         settings: RenderSettings = RenderSettings()):
+    """One progressive sample for pixel coords x/y ([...] uint32) → [..., 3].
+
+    The shardable core (same contract as the SmallPT integrator): pixel
+    indices are data; rows/tiles shard over the mesh.
+    """
+    accumulation = jnp.asarray(accumulation, jnp.uint32)
+    pixel_hash, _ = pcg2d(x, y)
+
+    u_cam = path_rng_4d(accumulation, pixel_hash, jnp.uint32(Dimension.CAMERA))
+    jitter = jnp.where(accumulation == 0, 0.5, u_cam[..., :2])
+    xf = (x.astype(jnp.float32) + jitter[..., 0]) / width
+    yf = 1.0 - (y.astype(jnp.float32) + jitter[..., 1]) / height
+    origin, direction = camera_ray_directions(
+        camera, jnp.stack([xf, yf], axis=-1))
+
+    shape = x.shape
+    flat = int(np.prod(shape)) if shape else 1
+    state = _PathState(
+        origin=origin.reshape(flat, 3),
+        direction=direction.reshape(flat, 3),
+        throughput=jnp.ones((flat, 3), jnp.float32),
+        radiance=jnp.zeros((flat, 3), jnp.float32),
+        bsdf_pdf=jnp.zeros(flat, jnp.float32),
+        bsdf_was_delta=jnp.ones(flat, bool),  # primary bounce: no regularization
+        pixel_hash=pixel_hash.reshape(flat),
+        bounce=jnp.zeros(flat, jnp.uint32),
+        active=jnp.isfinite(origin.reshape(flat, 3)[..., 0]),
+    )
+
+    # Iterations = bounces + slack for coverage/backface passthrough lanes.
+    n_iters = settings.max_bounce_count + 3
+    step = partial(_wavefront_step, scene, settings, accumulation)
+    state = jax.lax.fori_loop(0, n_iters, lambda i, s: step(s), state)
+    return state.radiance.reshape(shape + (3,))
+
+
+@partial(jax.jit, static_argnames=("width", "height", "settings"))
+def render_sample(scene: RenderScene, camera: PinholeCamera,
+                  width: int, height: int, accumulation,
+                  settings: RenderSettings = RenderSettings()):
+    """One progressive frame → radiance [height, width, 3] (row 0 = top)."""
+    x = jnp.broadcast_to(
+        jnp.arange(width, dtype=jnp.uint32)[None, :], (height, width))
+    y = jnp.broadcast_to(
+        jnp.arange(height, dtype=jnp.uint32)[:, None], (height, width))
+    return render_sample_pixels(
+        scene, camera, x, y, width, height, accumulation, settings)
+
+
+def render_progressive(scene: RenderScene, camera: PinholeCamera,
+                       width: int, height: int, accumulations: int,
+                       settings: RenderSettings = RenderSettings()):
+    """Progressive accumulation (lerp 1/(n+1), SimpleRGPs.cu:74-107)."""
+    buffer = jnp.zeros((height, width, 3), jnp.float32)
+    for n in range(accumulations):
+        frame = render_sample(scene, camera, width, height, n, settings)
+        buffer = buffer + (frame - buffer) / (n + 1)
+    return buffer

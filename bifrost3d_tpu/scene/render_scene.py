@@ -1,0 +1,98 @@
+"""RenderScene: the device-resident scene bundle the integrator consumes.
+
+The TPU-idiomatic replacement for the reference's ``handle_updates`` GPU
+mirror (Renderer.cpp:578-1205): instead of diff-syncing mutable managers,
+the host builds one immutable pytree of flattened world-space arrays —
+triangle soup + BVH, material SoA, light SoA, environment tables — and the
+jitted integrator closes over it. Scene edits rebuild the affected arrays
+and reset the accumulation (SURVEY.md §7.2 step 6 "rebuild-and-donate").
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from bifrost3d_tpu.geometry.bvh import BVH, build_bvh
+from bifrost3d_tpu.geometry.mesh import TriangleMesh, compute_smooth_normals
+from bifrost3d_tpu.lights.environment import (
+    EnvironmentLight,
+    build_environment_light,
+)
+from bifrost3d_tpu.lights.types import LightArray
+from bifrost3d_tpu.scene.materials import MaterialArray
+
+
+class RenderScene(NamedTuple):
+    # Flattened world-space triangle soup (positions gathered per corner).
+    tri_verts: jnp.ndarray     # [t, 3, 3]
+    tri_normals: jnp.ndarray   # [t, 3, 3] shading normals per corner
+    tri_uvs: jnp.ndarray       # [t, 3, 2]
+    tri_material: jnp.ndarray  # [t] int32
+    bvh: BVH
+    materials: MaterialArray
+    lights: LightArray
+    environment: Optional[EnvironmentLight]  # None = tint-only background
+    environment_tint: jnp.ndarray            # [3]
+    scene_epsilon: jnp.ndarray               # scalar ray offset scale
+
+
+def build_render_scene(instances, materials: MaterialArray,
+                       lights: Optional[LightArray] = None,
+                       environment_map=None,
+                       environment_tint=(0.0, 0.0, 0.0)) -> RenderScene:
+    """instances: list of (TriangleMesh, material_index) or
+    (TriangleMesh, material_index, matrix3x4)."""
+    from bifrost3d_tpu.geometry.mesh import transform_mesh
+
+    verts, normals, uvs, mat_ids = [], [], [], []
+    for inst in instances:
+        mesh, mat_id = inst[0], inst[1]
+        if len(inst) > 2 and inst[2] is not None:
+            mesh = transform_mesh(mesh, inst[2])
+        if mesh.normals is None:
+            mesh = compute_smooth_normals(mesh)
+        idx = np.asarray(mesh.indices)
+        pos = np.asarray(mesh.positions)
+        nrm = np.asarray(mesh.normals)
+        uv = (np.asarray(mesh.texcoords) if mesh.texcoords is not None
+              else np.zeros((pos.shape[0], 2), np.float32))
+        verts.append(pos[idx])
+        normals.append(nrm[idx])
+        uvs.append(uv[idx])
+        mat_ids.append(np.full(idx.shape[0], mat_id, np.int32))
+
+    tri_verts = np.concatenate(verts).astype(np.float32)
+    tri_normals = np.concatenate(normals).astype(np.float32)
+    tri_uvs = np.concatenate(uvs).astype(np.float32)
+    tri_material = np.concatenate(mat_ids)
+
+    # Build the BVH over the flattened soup.
+    flat_pos = tri_verts.reshape(-1, 3)
+    flat_idx = np.arange(flat_pos.shape[0], dtype=np.int32).reshape(-1, 3)
+    bvh = build_bvh(flat_pos, flat_idx)
+
+    if lights is None:
+        lights = LightArray.build([])
+
+    env = None
+    if environment_map is not None:
+        env = build_environment_light(environment_map, tint=(1.0, 1.0, 1.0))
+
+    extent = float(np.max(flat_pos.max(axis=0) - flat_pos.min(axis=0))) \
+        if flat_pos.size else 1.0
+
+    return RenderScene(
+        tri_verts=jnp.asarray(tri_verts),
+        tri_normals=jnp.asarray(tri_normals),
+        tri_uvs=jnp.asarray(tri_uvs),
+        tri_material=jnp.asarray(tri_material),
+        bvh=bvh,
+        materials=materials,
+        lights=lights,
+        environment=env,
+        environment_tint=jnp.asarray(environment_tint, jnp.float32),
+        scene_epsilon=jnp.asarray(max(extent, 1e-3) * 1e-4, jnp.float32),
+    )
