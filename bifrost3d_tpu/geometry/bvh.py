@@ -54,8 +54,13 @@ class BVH(NamedTuple):
         return max_d
 
 
-def build_bvh(positions, indices) -> BVH:
-    """Build from triangle soup: positions [v, 3], indices [t, 3]."""
+def build_bvh(positions, indices, use_native: bool = True) -> BVH:
+    """Build from triangle soup: positions [v, 3], indices [t, 3].
+
+    Uses the C++ builder (native/bvh_builder.cpp via ctypes) when the
+    toolchain is available; the numpy path below is the reference
+    implementation and fallback.
+    """
     pos = np.asarray(positions, np.float64)
     idx = np.asarray(indices, np.int64)
     t = idx.shape[0]
@@ -63,6 +68,17 @@ def build_bvh(positions, indices) -> BVH:
     tri_min = tri.min(axis=1)
     tri_max = tri.max(axis=1)
     centroids = (tri_min + tri_max) * 0.5
+
+    if use_native and t > 0:
+        from bifrost3d_tpu.geometry.native import build_bvh_native
+        res = build_bvh_native(tri_min.astype(np.float32),
+                               tri_max.astype(np.float32), MAX_LEAF_SIZE)
+        if res is not None:
+            node_min, node_max, node_a, node_count, prim_order = res
+            return BVH(
+                node_min=jnp.asarray(node_min), node_max=jnp.asarray(node_max),
+                node_a=jnp.asarray(node_a), node_count=jnp.asarray(node_count),
+                prim_indices=jnp.asarray(prim_order))
 
     # Worst case 2t-1 nodes.
     cap = max(2 * t, 2)

@@ -286,8 +286,15 @@ def _wavefront_step(scene: RenderScene, settings: RenderSettings,
      pixel_hash, bounce, active) = state
     eps = scene.scene_epsilon
 
-    hit = intersect_bvh(scene.bvh, scene.tri_verts, origin, direction,
-                        t_min=eps)
+    # Detached intersection (SURVEY.md §7.2 step 7): the traversal's
+    # while_loop is not reverse-differentiable and geometry gradients need
+    # edge-aware estimators anyway — differentiate the *estimator* (shading,
+    # light sampling, throughput) with the hit query treated as a sampler.
+    hit = jax.tree.map(
+        jax.lax.stop_gradient,
+        intersect_bvh(scene.bvh, scene.tri_verts,
+                      jax.lax.stop_gradient(origin),
+                      jax.lax.stop_gradient(direction), t_min=eps))
     t_light, light_idx = _intersect_analytic_lights(scene, origin, direction)
 
     light_first = t_light < hit.t
@@ -387,9 +394,10 @@ def _wavefront_step(scene: RenderScene, settings: RenderSettings,
     shadow_origin = position + geo_normal * jnp.where(
         dot(l_dir, geo_normal) >= 0, eps, -eps)[..., None] * 16.0
     has_light = shade & (jnp.max(l_radiance, axis=-1) > 0.0)
-    occluded = intersect_bvh_any(
-        scene.bvh, scene.tri_verts, shadow_origin, l_dir,
-        t_min=eps, t_max=l_dist * (1.0 - 1e-4))
+    occluded = jax.lax.stop_gradient(intersect_bvh_any(
+        scene.bvh, scene.tri_verts,
+        jax.lax.stop_gradient(shadow_origin), jax.lax.stop_gradient(l_dir),
+        t_min=eps, t_max=jax.lax.stop_gradient(l_dist) * (1.0 - 1e-4)))
     radiance = radiance + jnp.where(
         (has_light & ~occluded)[..., None], l_radiance, 0.0)
     nee_valid = jnp.sum(l_radiance, axis=-1) > 0.0

@@ -1,0 +1,222 @@
+"""glTF 2.0 loader (.gltf and .glb), written fresh against the spec.
+
+Counterpart of the reference's glTFLoader (``glTFLoader.cpp``, SURVEY.md
+§2.6) with the same behavioral rules:
+- triangles-only primitives with POSITION / NORMAL / TEXCOORD_0
+  (glTFLoader.cpp:552-570); other topologies are skipped with a warning.
+- node hierarchy with TRS or matrix transforms flattened into world space.
+- material conversion: pbrMetallicRoughness base color → tint (+coverage
+  from alpha), doubleSided → ThinWalled, alphaMode MASK → Cutout +
+  threshold (glTFLoader.cpp:469-475), ``KHR_materials_clearcoat`` → coat.
+- animations / cameras / skins / punctual lights ignored with warnings
+  (glTFLoader.cpp:531-535, 697-699).
+- texture *references* are surfaced as file paths / image indices so the
+  caller can do the (tint,roughness)/(metallic)-repacking when texturing
+  lands in the integrator (glTFLoader.cpp:106-133).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import struct
+import warnings
+
+import numpy as np
+import jax.numpy as jnp
+
+from bifrost3d_tpu.geometry.mesh import TriangleMesh
+
+_COMPONENT_DTYPES = {
+    5120: np.int8, 5121: np.uint8, 5122: np.int16,
+    5123: np.uint16, 5125: np.uint32, 5126: np.float32,
+}
+_TYPE_COUNTS = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4,
+                "MAT4": 16}
+
+
+def _load_glb(path):
+    with open(path, "rb") as f:
+        magic, _version, _length = struct.unpack("<III", f.read(12))
+        assert magic == 0x46546C67, "not a glb file"
+        json_data, bin_data = None, b""
+        while True:
+            header = f.read(8)
+            if len(header) < 8:
+                break
+            chunk_len, chunk_type = struct.unpack("<II", header)
+            chunk = f.read(chunk_len)
+            if chunk_type == 0x4E4F534A:
+                json_data = json.loads(chunk)
+            elif chunk_type == 0x004E4942:
+                bin_data = chunk
+        return json_data, [bin_data]
+
+
+def _load_gltf_json(path):
+    with open(path) as f:
+        doc = json.load(f)
+    buffers = []
+    base = os.path.dirname(path)
+    for buf in doc.get("buffers", []):
+        uri = buf.get("uri", "")
+        if uri.startswith("data:"):
+            buffers.append(base64.b64decode(uri.split(",", 1)[1]))
+        else:
+            with open(os.path.join(base, uri), "rb") as f:
+                buffers.append(f.read())
+    return doc, buffers
+
+
+def _read_accessor(doc, buffers, accessor_index):
+    acc = doc["accessors"][accessor_index]
+    view = doc["bufferViews"][acc["bufferView"]]
+    data = buffers[view.get("buffer", 0)]
+    dtype = _COMPONENT_DTYPES[acc["componentType"]]
+    count = acc["count"]
+    ncomp = _TYPE_COUNTS[acc["type"]]
+    offset = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+    stride = view.get("byteStride") or dtype().itemsize * ncomp
+    itemsize = dtype().itemsize
+    if stride == itemsize * ncomp:
+        arr = np.frombuffer(data, dtype, count * ncomp, offset).reshape(count, ncomp)
+    else:
+        arr = np.zeros((count, ncomp), dtype)
+        for i in range(count):
+            arr[i] = np.frombuffer(data, dtype, ncomp, offset + i * stride)
+    if acc.get("normalized"):
+        arr = arr.astype(np.float32) / np.iinfo(dtype).max
+    return np.array(arr)
+
+
+def _node_matrix(node):
+    if "matrix" in node:
+        return np.asarray(node["matrix"], np.float32).reshape(4, 4).T
+    m = np.eye(4, dtype=np.float32)
+    if "scale" in node:
+        m = m @ np.diag(list(node["scale"]) + [1.0]).astype(np.float32)
+    if "rotation" in node:
+        x, y, z, w = node["rotation"]
+        r = np.asarray([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y), 0],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x), 0],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y), 0],
+            [0, 0, 0, 1]], np.float32)
+        m = r @ m
+    if "translation" in node:
+        t = np.eye(4, dtype=np.float32)
+        t[:3, 3] = node["translation"]
+        m = t @ m
+    return m
+
+
+def _convert_material(gmat, doc):
+    """pbrMetallicRoughness → our material dict (glTFLoader.cpp:440-520)."""
+    out = dict(tint=(1.0, 1.0, 1.0), roughness=1.0, metallic=1.0)
+    pbr = gmat.get("pbrMetallicRoughness", {})
+    base = pbr.get("baseColorFactor", [1, 1, 1, 1])
+    out["tint"] = tuple(base[:3])
+    out["coverage"] = base[3]
+    out["roughness"] = pbr.get("roughnessFactor", 1.0)
+    out["metallic"] = pbr.get("metallicFactor", 1.0)
+    flags = 0
+    if gmat.get("doubleSided"):
+        flags |= 1  # ThinWalled (glTFLoader doubleSided rule)
+    alpha_mode = gmat.get("alphaMode", "OPAQUE")
+    if alpha_mode == "MASK":
+        flags |= 2  # Cutout
+        out["coverage"] = gmat.get("alphaCutoff", 0.5)
+    elif alpha_mode == "OPAQUE":
+        out["coverage"] = 1.0
+    out["flags"] = flags
+    clearcoat = gmat.get("extensions", {}).get("KHR_materials_clearcoat")
+    if clearcoat:
+        out["coat"] = clearcoat.get("clearcoatFactor", 0.0)
+        out["coat_roughness"] = clearcoat.get("clearcoatRoughnessFactor", 0.0)
+    emissive = gmat.get("emissiveFactor")
+    if emissive and any(v > 0 for v in emissive):
+        strength = gmat.get("extensions", {}).get(
+            "KHR_materials_emissive_strength", {}).get("emissiveStrength", 1.0)
+        out["emission"] = tuple(v * strength for v in emissive)
+    # Surface texture references for the caller (repacking happens there).
+    if "baseColorTexture" in pbr:
+        out["tint_texture_index"] = pbr["baseColorTexture"]["index"]
+    if "metallicRoughnessTexture" in pbr:
+        out["metallic_roughness_texture_index"] = \
+            pbr["metallicRoughnessTexture"]["index"]
+    return out
+
+
+def load_gltf(path):
+    """→ (meshes, material_dicts): meshes = [(TriangleMesh, mat_idx, name)].
+
+    Meshes arrive in world space (node hierarchy pre-flattened).
+    """
+    if path.lower().endswith(".glb"):
+        doc, buffers = _load_glb(path)
+    else:
+        doc, buffers = _load_gltf_json(path)
+
+    for ignored in ("animations", "skins", "cameras"):
+        if doc.get(ignored):
+            warnings.warn(f"glTF: ignoring {ignored} (not supported)")
+
+    material_dicts = [
+        _convert_material(g, doc) for g in doc.get("materials", [])]
+    if not material_dicts:
+        material_dicts = [dict(tint=(0.8, 0.8, 0.8), roughness=0.8)]
+
+    meshes = []
+
+    def emit_mesh(mesh_index, world, name):
+        mesh = doc["meshes"][mesh_index]
+        for prim in mesh.get("primitives", []):
+            if prim.get("mode", 4) != 4:
+                warnings.warn("glTF: skipping non-triangle primitive")
+                continue
+            attrs = prim["attributes"]
+            if "POSITION" not in attrs:
+                continue
+            pos = _read_accessor(doc, buffers, attrs["POSITION"]).astype(np.float32)
+            pos = pos @ world[:3, :3].T + world[:3, 3]
+            if "indices" in prim:
+                idx = _read_accessor(doc, buffers, prim["indices"]).reshape(-1)
+            else:
+                idx = np.arange(len(pos))
+            idx = idx.astype(np.int32).reshape(-1, 3)
+            normals = None
+            if "NORMAL" in attrs:
+                n = _read_accessor(doc, buffers, attrs["NORMAL"]).astype(np.float32)
+                inv_t = np.linalg.inv(world[:3, :3]).T
+                n = n @ inv_t.T
+                n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+                normals = jnp.asarray(n)
+            uv = None
+            if "TEXCOORD_0" in attrs:
+                uv = jnp.asarray(_read_accessor(
+                    doc, buffers, attrs["TEXCOORD_0"]).astype(np.float32)[:, :2])
+            # Negative determinant (mirroring) flips winding.
+            if np.linalg.det(world[:3, :3]) < 0:
+                idx = idx[:, ::-1]
+            meshes.append((TriangleMesh(
+                indices=jnp.asarray(idx),
+                positions=jnp.asarray(pos),
+                normals=normals, texcoords=uv,
+            ), prim.get("material", 0), name))
+
+    def walk(node_index, parent):
+        node = doc["nodes"][node_index]
+        world = parent @ _node_matrix(node)
+        if "mesh" in node:
+            emit_mesh(node["mesh"], world, node.get("name", f"node{node_index}"))
+        for child in node.get("children", []):
+            walk(child, world)
+
+    scene_index = doc.get("scene", 0)
+    scenes = doc.get("scenes", [])
+    roots = scenes[scene_index]["nodes"] if scenes else range(len(doc.get("nodes", [])))
+    for root in roots:
+        walk(root, np.eye(4, dtype=np.float32))
+
+    return meshes, material_dicts

@@ -61,20 +61,44 @@ def quat_look_in(direction, up=None):
     f = normalize(jnp.asarray(direction, jnp.float32))
     r = normalize(cross(up, f))
     u = cross(f, r)
-    # Build rotation matrix with columns (right, up, forward), convert to quat.
-    m00, m01, m02 = r[..., 0], u[..., 0], f[..., 0]
-    m10, m11, m12 = r[..., 1], u[..., 1], f[..., 1]
-    m20, m21, m22 = r[..., 2], u[..., 2], f[..., 2]
-    trace = m00 + m11 + m22
-    # Branch-free Shepperd's method via jnp.where over the four cases.
-    qw = jnp.sqrt(jnp.maximum(0.0, 1.0 + trace)) / 2.0
-    qx = jnp.sqrt(jnp.maximum(0.0, 1.0 + m00 - m11 - m22)) / 2.0
-    qy = jnp.sqrt(jnp.maximum(0.0, 1.0 - m00 + m11 - m22)) / 2.0
-    qz = jnp.sqrt(jnp.maximum(0.0, 1.0 - m00 - m11 + m22)) / 2.0
-    qx = jnp.copysign(qx, m21 - m12)
-    qy = jnp.copysign(qy, m02 - m20)
-    qz = jnp.copysign(qz, m10 - m01)
-    return quat_normalize(jnp.stack([qx, qy, qz, qw], axis=-1))
+    # Rotation matrix with columns (right, up, forward) → quaternion.
+    m = jnp.stack([r, u, f], axis=-1)
+    return quat_from_matrix(m)
+
+
+def quat_from_matrix(m):
+    """Rotation matrix [..., 3, 3] → unit quaternion (x, y, z, w).
+
+    Branch-free Shepperd's method: all four candidate quaternions are
+    computed and the numerically dominant one selected with masks (the
+    naive sqrt+copysign shortcut breaks when w is not the largest
+    component — e.g. any rotation by more than 90°).
+    """
+    m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    m10, m11, m12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    t_w = 1.0 + m00 + m11 + m22   # 4w²
+    t_x = 1.0 + m00 - m11 - m22   # 4x²
+    t_y = 1.0 - m00 + m11 - m22   # 4y²
+    t_z = 1.0 - m00 - m11 + m22   # 4z²
+
+    def cand(t, a, b, c, order):
+        s = jnp.sqrt(jnp.maximum(t, 1e-12))
+        inv = 0.5 / s
+        comps = {order[0]: 0.5 * s, order[1]: a * inv, order[2]: b * inv,
+                 order[3]: c * inv}
+        return jnp.stack([comps["x"], comps["y"], comps["z"], comps["w"]], axis=-1)
+
+    q_w = cand(t_w, m21 - m12, m02 - m20, m10 - m01, "wxyz")
+    q_x = cand(t_x, m21 - m12, m01 + m10, m02 + m20, "xwyz")
+    q_y = cand(t_y, m02 - m20, m01 + m10, m12 + m21, "ywxz")
+    q_z = cand(t_z, m10 - m01, m02 + m20, m12 + m21, "zwxy")
+
+    ts = jnp.stack([t_w, t_x, t_y, t_z], axis=-1)
+    best = jnp.argmax(ts, axis=-1)[..., None]
+    q = jnp.where(best == 0, q_w,
+                  jnp.where(best == 1, q_x, jnp.where(best == 2, q_y, q_z)))
+    return quat_normalize(q)
 
 
 def quat_to_matrix(q):

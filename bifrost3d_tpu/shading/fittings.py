@@ -228,9 +228,14 @@ def get_fittings() -> Fittings:
     if _CACHE is None:
         if os.path.exists(_DATA_PATH):
             data = np.load(_DATA_PATH)
-            _CACHE = Fittings(**{k: jnp.asarray(data[k]) for k in Fittings._fields})
+            # Cache as NUMPY arrays: get_fittings may first be called inside
+            # a jit trace, where jnp.asarray would produce trace-local
+            # tracers that must not leak into the module-level cache.
+            _CACHE = Fittings(**{k: np.asarray(data[k]) for k in Fittings._fields})
         else:
-            _CACHE = precompute_fittings()
+            tables = precompute_fittings()
+            _CACHE = Fittings(**{k: np.asarray(getattr(tables, k))
+                                 for k in Fittings._fields})
     return _CACHE
 
 
@@ -240,6 +245,7 @@ def get_fittings() -> Fittings:
 
 def _bilinear_2d(table, x, y):
     """table [ny, nx], coords in [0, 1] mapping to boundary-aligned grid."""
+    table = jnp.asarray(table)  # cache holds numpy; lift per-trace
     nx = table.shape[1]
     ny = table.shape[0]
     fx = jnp.clip(x, 0.0, 1.0) * (nx - 1)
@@ -298,6 +304,7 @@ def sample_dielectric_ggx_rho(cos_theta, roughness, ior_i_over_o,
 
 def _bilinear_2d_batch(table, z, x, y):
     """table [nz, ny, nx, c]; per-element z index."""
+    table = jnp.asarray(table)  # cache holds numpy; lift per-trace
     nx, ny = table.shape[2], table.shape[1]
     fx = jnp.clip(x, 0.0, 1.0) * (nx - 1)
     fy = jnp.clip(y, 0.0, 1.0) * (ny - 1)

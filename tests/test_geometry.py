@@ -165,6 +165,24 @@ class TestBVH:
         brute = intersect_triangles_brute(tris, o, d)
         np.testing.assert_array_equal(occluded, np.asarray(brute.mask))
 
+    def test_native_builder_matches_numpy(self):
+        """The C++ builder (native/bvh_builder.cpp) and the numpy reference
+        builder must traverse identically."""
+        from bifrost3d_tpu.geometry.native import native_available
+        if not native_available():
+            pytest.skip("no native toolchain")
+        mesh = make_torus()
+        tris = tri_soup(mesh)
+        b_nat = build_bvh(mesh.positions, mesh.indices, use_native=True)
+        b_np = build_bvh(mesh.positions, mesh.indices, use_native=False)
+        o, d = random_rays(256, np.zeros(3), 3.0, seed=5)
+        h_nat = intersect_bvh(b_nat, tris, o, d)
+        h_np = intersect_bvh(b_np, tris, o, d)
+        np.testing.assert_array_equal(np.asarray(h_nat.mask), np.asarray(h_np.mask))
+        m = np.asarray(h_np.mask)
+        np.testing.assert_allclose(
+            np.asarray(h_nat.t)[m], np.asarray(h_np.t)[m], rtol=1e-6)
+
     def test_t_max_limits_hits(self):
         mesh = make_sphere()
         tris = tri_soup(mesh)

@@ -135,6 +135,28 @@ class TestQuaternion:
         fwd = quat_rotate(q, jnp.asarray([0.0, 0.0, 1.0]))
         np.testing.assert_allclose(np.asarray(fwd), np.asarray(d), atol=1e-5)
 
+    def test_look_in_backward_regression(self):
+        """Rotations > 90° broke the old sqrt+copysign matrix→quat path
+        (camera facing -z got a flipped y axis)."""
+        for target in ([0.0, -1.0, -3.0], [0.0, 0.0, -1.0], [-2.0, 0.5, -1.0]):
+            d = normalize(jnp.asarray(target))
+            q = quat_look_in(d)
+            fwd = quat_rotate(q, jnp.asarray([0.0, 0.0, 1.0]))
+            np.testing.assert_allclose(np.asarray(fwd), np.asarray(d), atol=1e-5)
+            up = quat_rotate(q, jnp.asarray([0.0, 1.0, 0.0]))
+            assert float(up[1]) > 0.0  # up stays up
+
+    def test_matrix_quat_roundtrip(self):
+        from bifrost3d_tpu.math.quaternion import quat_from_matrix
+        rng = np.random.default_rng(9)
+        axes = rng.normal(size=(64, 3))
+        axes /= np.linalg.norm(axes, axis=-1, keepdims=True)
+        q = quat_from_axis_angle(jnp.asarray(axes, jnp.float32),
+                                 jnp.asarray(rng.uniform(0, np.pi, 64), jnp.float32))
+        q2 = quat_from_matrix(quat_to_matrix(q))
+        dots = np.abs(np.sum(np.asarray(q) * np.asarray(q2), axis=-1))
+        assert dots.min() > 1.0 - 1e-5
+
 
 class TestTransform:
     def test_inverse_roundtrip(self):

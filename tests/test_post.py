@@ -1,0 +1,134 @@
+"""Camera-effects tests — counterparts of DX11RendererTests' compute-pass
+tests (SURVEY.md §4: histogram vs CPU histogram, bloom energy conservation,
+tonemapper behavior)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from bifrost3d_tpu.post import (
+    CameraEffectsSettings,
+    TonemappingSettings,
+    agx,
+    filmic,
+    gaussian_bloom,
+    histogram_exposure,
+    khronos_neutral,
+    log_average_exposure,
+    luminance_histogram,
+    process,
+    reinhard,
+)
+from bifrost3d_tpu.math.color import luminance
+
+
+def hdr_image(seed=0, h=24, w=32):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.lognormal(mean=-1.0, sigma=1.5, size=(h, w, 3)),
+                       jnp.float32)
+
+
+class TestTonemappers:
+    @pytest.mark.parametrize("op", [
+        # Extended Reinhard maps [0, W] into [0, 1] for white level W.
+        lambda c: reinhard(c, white_level_sqrd=400.0),
+        lambda c: filmic(c),
+        agx,
+        khronos_neutral])
+    def test_range_and_monotonicity(self, op):
+        # Grayscale ramp maps into [0, ~1] monotonically.
+        ramp = jnp.linspace(0.0, 20.0, 256)[:, None] * jnp.ones(3)
+        out = np.asarray(op(ramp))
+        assert np.all(out >= -1e-3)
+        assert np.all(out <= 1.2)
+        lum = out.mean(axis=-1)
+        assert np.all(np.diff(lum) >= -1e-3), "not monotonic"
+
+    @pytest.mark.parametrize("op", [
+        lambda c: reinhard(c), lambda c: filmic(c), agx, khronos_neutral])
+    def test_black_maps_to_black(self, op):
+        out = np.asarray(op(jnp.zeros((4, 3))))
+        np.testing.assert_allclose(out, 0.0, atol=0.01)
+
+    def test_khronos_neutral_below_knee_applies_black_offset_only(self):
+        # Below the compression knee the operator only subtracts the black
+        # offset (0.04 once min-channel > 0.08) — matches the reference.
+        c = jnp.asarray([[0.2, 0.3, 0.1]])
+        np.testing.assert_allclose(
+            np.asarray(khronos_neutral(c)), np.asarray(c) - 0.04, atol=1e-5)
+
+    def test_filmic_mid_grey_preserved(self):
+        # The UE4 curve maps 0.18 input ≈ 0.18 output by construction.
+        out = np.asarray(filmic(jnp.full((1, 3), 0.18)))
+        np.testing.assert_allclose(out, 0.18, atol=0.02)
+
+
+class TestExposure:
+    def test_histogram_matches_numpy(self):
+        img = hdr_image(1)
+        hist = np.asarray(luminance_histogram(img, -4.0, 4.0))
+        lum = np.asarray(luminance(img))
+        np_hist, _ = np.histogram(
+            np.clip(np.log2(np.maximum(lum, 1e-10)), -4.0, 3.999), bins=64,
+            range=(-4.0, 4.0))
+        # Clamp semantics at the edges make the interior bins identical.
+        np.testing.assert_array_equal(hist[1:-1], np_hist[1:-1])
+        assert hist.sum() == lum.size
+
+    def test_exposure_normalizes_brightness(self):
+        # Scales chosen so most luminances stay inside the histogram's
+        # [-4, 4] log2 range (outside it the clamped bins limit adaptation,
+        # as in the reference).
+        for scale in (0.2, 1.0, 5.0):
+            img = hdr_image(2) * scale
+            e = float(histogram_exposure(img))
+            exposed = np.asarray(img) * e
+            # After exposure the average luminance lands near mid-grey.
+            assert 0.05 < luminance(jnp.asarray(exposed)).mean() < 1.0
+
+    def test_log_average_tracks_scale(self):
+        img = hdr_image(3)
+        e1 = float(log_average_exposure(img))
+        e2 = float(log_average_exposure(img * 4.0))
+        assert e2 < e1
+
+
+class TestBloom:
+    def test_disabled_with_infinite_threshold(self):
+        img = hdr_image(4)
+        out = gaussian_bloom(img, np.inf, 0.05)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(img))
+
+    def test_energy_conservation(self):
+        """Blur preserves the thresholded energy (reference bloom test)."""
+        img = jnp.zeros((33, 33, 3)).at[16, 16].set(100.0)
+        out = np.asarray(gaussian_bloom(img, 1.0, 0.2))
+        # Total energy preserved within boundary-padding tolerance.
+        np.testing.assert_allclose(out.sum(), 100.0 * 3, rtol=0.02)
+        # And spread out: center pixel far below the original.
+        assert out[16, 16, 0] < 50.0
+
+    def test_mirrored_input_gives_mirrored_output(self):
+        img = hdr_image(5, 16, 16) * 5.0
+        a = np.asarray(gaussian_bloom(img, 0.5, 0.2))
+        b = np.asarray(gaussian_bloom(img[:, ::-1], 0.5, 0.2))
+        np.testing.assert_allclose(a, b[:, ::-1], atol=1e-4)
+
+
+class TestPipeline:
+    def test_preset_chain_outputs_displayable(self):
+        img = hdr_image(6)
+        out = np.asarray(process(img, CameraEffectsSettings.preset()))
+        assert out.shape == img.shape
+        assert np.all((out >= 0.0) & (out <= 1.0))
+
+    def test_linear_chain_is_identity_below_one(self):
+        img = jnp.clip(hdr_image(7), 0.0, 0.9)
+        out = np.asarray(process(img, CameraEffectsSettings.linear()))
+        np.testing.assert_allclose(out, np.asarray(img), atol=1e-5)
+
+    def test_vignette_darkens_corners(self):
+        s = CameraEffectsSettings.linear()._replace(vignette=0.8)
+        img = jnp.full((32, 32, 3), 0.5)
+        out = np.asarray(process(img, s))
+        assert out[0, 0].mean() < out[16, 16].mean()
