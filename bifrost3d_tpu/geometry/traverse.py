@@ -58,26 +58,65 @@ def moller_trumbore(origin, direction, v0, v1, v2, eps=1e-9):
     return t, u, v, hit
 
 
+BRUTE_FORCE_MAX_TRIS = 4096   # below this, dense testing beats traversal
+_BRUTE_CHUNK = 512
+
+
 def intersect_triangles_brute(triangles, origin, direction,
                               t_min=1e-4, t_max=jnp.inf) -> Hit:
     """Dense rays × all-triangles nearest hit.
 
     triangles: [t, 3, 3] vertex positions. origin/direction: [r, 3].
-    Memory O(r·t) — intended for small meshes and as the traversal oracle.
+    On TPU the VPU eats this: for meshes below a few thousand triangles the
+    dense [rays × tris] Möller–Trumbore beats divergent traversal outright.
+    Triangles are processed in chunks to bound the O(r·chunk) intermediate.
     """
+    r = origin.shape[0]
+    n_tris = triangles.shape[0]
+    best = Hit(
+        t=jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,)),
+        prim=jnp.full(r, -1, jnp.int32),
+        u=jnp.zeros(r), v=jnp.zeros(r))
     o = origin[:, None, :]
     d = direction[:, None, :]
-    t, u, v, hit = moller_trumbore(o, d, triangles[None, :, 0],
-                                   triangles[None, :, 1], triangles[None, :, 2])
-    valid = hit & (t > t_min) & (t < t_max)
-    t = jnp.where(valid, t, jnp.inf)
-    best = jnp.argmin(t, axis=1).astype(jnp.int32)
-    t_best = jnp.take_along_axis(t, best[:, None], axis=1)[:, 0]
-    u_best = jnp.take_along_axis(u, best[:, None], axis=1)[:, 0]
-    v_best = jnp.take_along_axis(v, best[:, None], axis=1)[:, 0]
-    found = jnp.isfinite(t_best)
-    return Hit(t=t_best, prim=jnp.where(found, best, -1),
-               u=jnp.where(found, u_best, 0.0), v=jnp.where(found, v_best, 0.0))
+    for start in range(0, n_tris, _BRUTE_CHUNK):
+        chunk = triangles[start:start + _BRUTE_CHUNK]
+        t, u, v, hit = moller_trumbore(
+            o, d, chunk[None, :, 0], chunk[None, :, 1], chunk[None, :, 2])
+        valid = hit & (t > t_min) & (t < best.t[:, None])
+        t = jnp.where(valid, t, jnp.inf)
+        k = jnp.argmin(t, axis=1)
+        t_new = jnp.take_along_axis(t, k[:, None], axis=1)[:, 0]
+        closer = t_new < best.t
+        sel = lambda arr: jnp.take_along_axis(arr, k[:, None], axis=1)[:, 0]
+        best = Hit(
+            t=jnp.where(closer, t_new, best.t),
+            prim=jnp.where(closer, (k + start).astype(jnp.int32), best.prim),
+            u=jnp.where(closer, sel(u), best.u),
+            v=jnp.where(closer, sel(v), best.v))
+    miss = best.prim < 0
+    return Hit(t=jnp.where(miss, jnp.inf, best.t), prim=best.prim,
+               u=best.u, v=best.v)
+
+
+def intersect_scene(bvh: BVH, triangles, origin, direction,
+                    t_min=1e-4, t_max=jnp.inf, any_hit: bool = False) -> Hit:
+    """Strategy dispatch: dense brute force for small meshes, BVH beyond.
+
+    Triangle count is static under jit, so the choice costs nothing.
+    """
+    if triangles.shape[0] <= BRUTE_FORCE_MAX_TRIS:
+        return intersect_triangles_brute(triangles, origin, direction,
+                                         t_min, t_max)
+    return intersect_bvh(bvh, triangles, origin, direction, t_min, t_max,
+                         any_hit=any_hit)
+
+
+def intersect_scene_any(bvh: BVH, triangles, origin, direction,
+                        t_min=1e-4, t_max=jnp.inf):
+    hit = intersect_scene(bvh, triangles, origin, direction, t_min, t_max,
+                          any_hit=True)
+    return hit.prim >= 0
 
 
 def _aabb_hit(origin, inv_dir, lo, hi, t_max):

@@ -14,7 +14,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from bifrost3d_tpu.geometry.traverse import intersect_bvh
+from bifrost3d_tpu.geometry.traverse import intersect_scene
 from bifrost3d_tpu.integrator.path_tracer import _create_shading
 from bifrost3d_tpu.math.morton import morton_encode_2d
 from bifrost3d_tpu.math.vec import dot, normalize, to_local
@@ -31,7 +31,7 @@ def render_aovs(scene: RenderScene, camera: PinholeCamera,
     o = origin.reshape(-1, 3)
     d = direction.reshape(-1, 3)
 
-    hit = intersect_bvh(scene.bvh, scene.tri_verts, o, d,
+    hit = intersect_scene(scene.bvh, scene.tri_verts, o, d,
                         t_min=scene.scene_epsilon)
     mask = hit.mask
     prim = jnp.maximum(hit.prim, 0)

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bifrost3d_tpu.geometry.traverse import intersect_bvh, intersect_bvh_any
+from bifrost3d_tpu.geometry.traverse import intersect_scene, intersect_scene_any
 from bifrost3d_tpu.lights.analytic import (
     _ray_sphere_t,
     evaluate_light,
@@ -236,14 +236,21 @@ def _reestimated_light_samples(scene, bundle, position, wo, shading_normal,
             scene, bundle, position, wo, shading_normal, u4[..., :3], settings)
         w_old = jnp.sum(radiance, axis=-1)
         w_new = jnp.sum(new_rad, axis=-1)
-        p_new = w_new / jnp.maximum(w_old + w_new, 1e-20)
+        any_w = w_old + w_new > 0.0
+        p_new = w_new / jnp.where(any_w, w_old + w_new, 1.0)
         take = u4[..., 3] < p_new
         direction = jnp.where(take[..., None], new_dir, direction)
         distance = jnp.where(take, new_dist, distance)
+        # Double-where: the unselected branch's denominator is forced to 1 so
+        # its (masked-out) quotient can't produce inf/NaN in the BACKWARD
+        # pass — chained 0/eps terms overflow float32 under autodiff.
+        denom = jnp.where(take, jnp.where(take, p_new, 1.0),
+                          jnp.where(take, 1.0, 1.0 - p_new))
+        denom = jnp.where(any_w & (denom > 1e-20), denom, 1.0)
         radiance = jnp.where(
-            take[..., None], new_rad / jnp.maximum(p_new, 1e-20)[..., None],
-            radiance / jnp.maximum(1.0 - p_new, 1e-20)[..., None])
-        radiance = jnp.where((w_old + w_new > 0.0)[..., None], radiance, 0.0)
+            any_w[..., None],
+            jnp.where(take[..., None], new_rad, radiance) / denom[..., None],
+            0.0)
     return direction, distance, radiance / settings.next_event_sample_count
 
 
@@ -292,7 +299,7 @@ def _wavefront_step(scene: RenderScene, settings: RenderSettings,
     # light sampling, throughput) with the hit query treated as a sampler.
     hit = jax.tree.map(
         jax.lax.stop_gradient,
-        intersect_bvh(scene.bvh, scene.tri_verts,
+        intersect_scene(scene.bvh, scene.tri_verts,
                       jax.lax.stop_gradient(origin),
                       jax.lax.stop_gradient(direction), t_min=eps))
     t_light, light_idx = _intersect_analytic_lights(scene, origin, direction)
@@ -394,7 +401,7 @@ def _wavefront_step(scene: RenderScene, settings: RenderSettings,
     shadow_origin = position + geo_normal * jnp.where(
         dot(l_dir, geo_normal) >= 0, eps, -eps)[..., None] * 16.0
     has_light = shade & (jnp.max(l_radiance, axis=-1) > 0.0)
-    occluded = jax.lax.stop_gradient(intersect_bvh_any(
+    occluded = jax.lax.stop_gradient(intersect_scene_any(
         scene.bvh, scene.tri_verts,
         jax.lax.stop_gradient(shadow_origin), jax.lax.stop_gradient(l_dir),
         t_min=eps, t_max=jax.lax.stop_gradient(l_dist) * (1.0 - 1e-4)))

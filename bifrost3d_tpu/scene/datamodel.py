@@ -1,0 +1,434 @@
+"""The mutable scene datamodel: UID-handled managers with change tracking.
+
+Counterpart of the reference's L2 (``Bifrost/Assets`` + ``Bifrost/Scene``,
+SURVEY.md §2.3): SceneNodes (hierarchy + global transforms), SceneRoots
+(environment), Cameras (per-camera renderer selection, z-ordering,
+screenshot requests), LightSources, Meshes, Materials, MeshModels — each a
+manager with create/destroy, typed UIDs, and per-tick ChangeSets.
+
+The render-side mirror is :class:`SceneSync`: the ``handle_updates``
+analogue that rebuilds the immutable RenderScene pytree when any manager
+reports changes and resets progressive accumulation — the reference's
+diff-sync collapsed to rebuild-and-donate (idiomatic for XLA, SURVEY.md
+§7.2 step 6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from bifrost3d_tpu.core.changeset import ChangeSet
+from bifrost3d_tpu.core.uid import UID, TypedUIDGenerator
+from bifrost3d_tpu.geometry.mesh import TriangleMesh
+from bifrost3d_tpu.lights.types import (
+    LIGHT_DIRECTIONAL,
+    LIGHT_SPHERE,
+    LIGHT_SPOT,
+    LightArray,
+)
+from bifrost3d_tpu.math.quaternion import quat_to_matrix
+from bifrost3d_tpu.math.transform import Transform, transform_compose, transform_identity
+from bifrost3d_tpu.scene.materials import MaterialArray
+from bifrost3d_tpu.scene.render_scene import RenderScene, build_render_scene
+
+
+class _Manager:
+    """Shared manager pattern: UID slots + ChangeSet."""
+
+    def __init__(self):
+        self._ids = TypedUIDGenerator()
+        self._data: Dict[int, object] = {}
+        self.changes = ChangeSet()
+
+    def _create(self, payload) -> UID:
+        uid = self._ids.generate()
+        self._data[int(uid)] = payload
+        self.changes.add_change(uid, ChangeSet.CREATED)
+        return uid
+
+    def destroy(self, uid: UID) -> bool:
+        if not self._ids.has(uid):
+            return False
+        self._ids.erase(uid)
+        del self._data[int(uid)]
+        self.changes.add_change(uid, ChangeSet.DESTROYED)
+        return True
+
+    def has(self, uid: UID) -> bool:
+        return self._ids.has(uid)
+
+    def __iter__(self):
+        return iter(self._ids)
+
+    def __len__(self):
+        return self._ids.count
+
+    def _get(self, uid: UID):
+        return self._data[int(uid)]
+
+    def _touch(self, uid: UID):
+        self.changes.add_change(uid, ChangeSet.UPDATED)
+
+    def reset_change_notifications(self):
+        self.changes.reset_change_notifications()
+
+
+# ---------------------------------------------------------------------------
+# Scene graph
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _Node:
+    name: str
+    global_transform: Transform
+    parent: Optional[UID] = None
+    children: List[UID] = field(default_factory=list)
+
+
+class SceneNodes(_Manager):
+    """Scene graph storing GLOBAL transforms (local derived on demand) —
+    the reference's storage choice (Scene/SceneNode.h:39-112)."""
+
+    def create(self, name: str, transform: Transform = None) -> UID:
+        return self._create(_Node(name, transform or transform_identity()))
+
+    def get_name(self, uid: UID) -> str:
+        return self._get(uid).name
+
+    def get_global_transform(self, uid: UID) -> Transform:
+        return self._get(uid).global_transform
+
+    def set_global_transform(self, uid: UID, t: Transform) -> None:
+        node = self._get(uid)
+        delta_parent = t
+        node.global_transform = t
+        self._touch(uid)
+        # Children keep their global transforms in the reference; nothing to
+        # propagate — set_local would differ.
+
+    def set_parent(self, uid: UID, parent: Optional[UID]) -> None:
+        node = self._get(uid)
+        if node.parent is not None and self.has(node.parent):
+            self._get(node.parent).children.remove(uid)
+        node.parent = parent
+        if parent is not None:
+            self._get(parent).children.append(uid)
+        self._touch(uid)
+
+    def get_parent(self, uid: UID) -> Optional[UID]:
+        return self._get(uid).parent
+
+    def get_children(self, uid: UID) -> List[UID]:
+        return list(self._get(uid).children)
+
+    def apply_recursively(self, uid: UID, fn) -> None:
+        """Stackless-DFS analogue (SceneNode.h:174-210)."""
+        stack = [uid]
+        while stack:
+            n = stack.pop()
+            fn(n)
+            stack.extend(reversed(self.get_children(n)))
+
+    def apply_to_children_recursively(self, uid: UID, fn) -> None:
+        for child in self.get_children(uid):
+            self.apply_recursively(child, fn)
+
+
+@dataclass
+class _SceneRoot:
+    name: str
+    root_node: UID
+    environment_tint: tuple = (0.0, 0.0, 0.0)
+    environment_map: Optional[np.ndarray] = None
+
+
+class SceneRoots(_Manager):
+    ENVIRONMENT_TINT_CHANGED = 8
+    ENVIRONMENT_MAP_CHANGED = 16
+
+    def create(self, name: str, root_node: UID,
+               environment_tint=(0, 0, 0), environment_map=None) -> UID:
+        return self._create(_SceneRoot(name, root_node,
+                                       environment_tint, environment_map))
+
+    def get_root_node(self, uid: UID) -> UID:
+        return self._get(uid).root_node
+
+    def get_environment_tint(self, uid: UID):
+        return self._get(uid).environment_tint
+
+    def set_environment_tint(self, uid: UID, tint) -> None:
+        self._get(uid).environment_tint = tuple(tint)
+        self.changes.add_change(uid, self.ENVIRONMENT_TINT_CHANGED)
+
+    def get_environment_map(self, uid: UID):
+        return self._get(uid).environment_map
+
+    def set_environment_map(self, uid: UID, image) -> None:
+        self._get(uid).environment_map = image
+        self.changes.add_change(uid, self.ENVIRONMENT_MAP_CHANGED)
+
+
+# ---------------------------------------------------------------------------
+# Assets
+# ---------------------------------------------------------------------------
+
+class Meshes(_Manager):
+    def create(self, name: str, mesh: TriangleMesh) -> UID:
+        return self._create((name, mesh))
+
+    def get_mesh(self, uid: UID) -> TriangleMesh:
+        return self._get(uid)[1]
+
+    def get_name(self, uid: UID) -> str:
+        return self._get(uid)[0]
+
+    def set_mesh(self, uid: UID, mesh: TriangleMesh) -> None:
+        self._data[int(uid)] = (self._get(uid)[0], mesh)
+        self._touch(uid)
+
+
+class Materials(_Manager):
+    def create(self, name: str, **params) -> UID:
+        return self._create((name, dict(params)))
+
+    def get_params(self, uid: UID) -> dict:
+        return dict(self._get(uid)[1])
+
+    def set_param(self, uid: UID, key: str, value) -> None:
+        self._get(uid)[1][key] = value
+        self._touch(uid)
+
+    # Convenience setters mirroring the reference's API surface.
+    def set_tint(self, uid: UID, tint) -> None:
+        self.set_param(uid, "tint", tuple(tint))
+
+    def set_roughness(self, uid: UID, r: float) -> None:
+        self.set_param(uid, "roughness", float(r))
+
+    def set_metallic(self, uid: UID, m: float) -> None:
+        self.set_param(uid, "metallic", float(m))
+
+    def set_coverage(self, uid: UID, c: float) -> None:
+        self.set_param(uid, "coverage", float(c))
+
+    def set_emission(self, uid: UID, e) -> None:
+        self.set_param(uid, "emission", tuple(e))
+
+
+class MeshModels(_Manager):
+    """(scene node, mesh, material) binding (Assets/MeshModel.h)."""
+
+    def create(self, node: UID, mesh: UID, material: UID) -> UID:
+        return self._create((node, mesh, material))
+
+    def get_binding(self, uid: UID):
+        return self._get(uid)
+
+
+class LightSources(_Manager):
+    """Tagged sphere/spot/directional lights bound to scene nodes
+    (Scene/LightSource.h:33-120)."""
+
+    def create_sphere_light(self, node: UID, power, radius: float) -> UID:
+        return self._create(dict(kind=LIGHT_SPHERE, node=node,
+                                 power=tuple(power), radius=float(radius)))
+
+    def create_spot_light(self, node: UID, power, radius: float,
+                          cos_angle: float) -> UID:
+        return self._create(dict(kind=LIGHT_SPOT, node=node,
+                                 power=tuple(power), radius=float(radius),
+                                 cos_angle=float(cos_angle)))
+
+    def create_directional_light(self, node: UID, radiance) -> UID:
+        return self._create(dict(kind=LIGHT_DIRECTIONAL, node=node,
+                                 radiance=tuple(radiance)))
+
+    def get_light(self, uid: UID) -> dict:
+        return dict(self._get(uid))
+
+    def is_delta_light(self, uid: UID) -> bool:
+        d = self._get(uid)
+        return (d["kind"] == LIGHT_DIRECTIONAL
+                or (d["kind"] != LIGHT_DIRECTIONAL and d.get("radius", 0) == 0))
+
+    def set_power(self, uid: UID, power) -> None:
+        self._get(uid)["power"] = tuple(power)
+        self._touch(uid)
+
+
+@dataclass
+class _Camera:
+    name: str
+    scene_root: UID
+    transform: Transform
+    fov_radians: float = np.pi / 4
+    aspect: float = 1.0
+    near: float = 0.1
+    far: float = 1000.0
+    z_index: int = 0
+    renderer_id: int = 0
+    screenshot_request: Optional[dict] = None
+    screenshots: List[dict] = field(default_factory=list)
+
+
+class Cameras(_Manager):
+    """Cameras with per-camera renderer selection, z-ordering, and the
+    screenshot request → fill → resolve pipeline (Scene/Camera.h:62-192)."""
+
+    def create(self, name: str, scene_root: UID,
+               transform: Transform = None, **params) -> UID:
+        return self._create(_Camera(name, scene_root,
+                                    transform or transform_identity(), **params))
+
+    def get_transform(self, uid: UID) -> Transform:
+        return self._get(uid).transform
+
+    def set_transform(self, uid: UID, t: Transform) -> None:
+        self._get(uid).transform = t
+        self._touch(uid)
+
+    def set_renderer(self, uid: UID, renderer_id: int) -> None:
+        self._get(uid).renderer_id = renderer_id
+        self._touch(uid)
+
+    def get_renderer(self, uid: UID) -> int:
+        return self._get(uid).renderer_id
+
+    def get_z_index(self, uid: UID) -> int:
+        return self._get(uid).z_index
+
+    def get_z_sorted_ids(self) -> List[UID]:
+        return sorted(self, key=lambda u: self._get(u).z_index)
+
+    def to_pinhole(self, uid: UID):
+        from bifrost3d_tpu.scene.camera import PinholeCamera, perspective_projection
+        c = self._get(uid)
+        proj, inv = perspective_projection(c.near, c.far, c.fov_radians, c.aspect)
+        return PinholeCamera(transform=c.transform, projection=proj,
+                             inverse_projection=inv)
+
+    # Screenshot pipeline (Camera.cpp:190-222): request → renderer fills →
+    # resolve into images.
+    def request_screenshot(self, uid: UID, content="hdr",
+                           minimum_iteration_count: int = 1) -> None:
+        self._get(uid).screenshot_request = dict(
+            content=content, minimum_iteration_count=minimum_iteration_count)
+
+    def is_screenshot_requested(self, uid: UID) -> bool:
+        return self._get(uid).screenshot_request is not None
+
+    def fill_screenshot(self, uid: UID, image, iteration_count: int) -> None:
+        c = self._get(uid)
+        req = c.screenshot_request
+        if req is None or iteration_count < req["minimum_iteration_count"]:
+            return
+        c.screenshots.append(dict(content=req["content"], image=image,
+                                  iterations=iteration_count))
+        c.screenshot_request = None
+
+    def resolve_screenshot(self, uid: UID):
+        """→ list of filled screenshots, clearing them (Camera resolve)."""
+        c = self._get(uid)
+        out, c.screenshots = c.screenshots, []
+        return out
+
+
+# ---------------------------------------------------------------------------
+# SceneSync: the handle_updates analogue
+# ---------------------------------------------------------------------------
+
+class SceneData:
+    """One bundle of all managers (the reference's static allocate pattern
+    made instance-based: no global singletons, trivially testable)."""
+
+    def __init__(self):
+        self.nodes = SceneNodes()
+        self.roots = SceneRoots()
+        self.meshes = Meshes()
+        self.materials = Materials()
+        self.models = MeshModels()
+        self.lights = LightSources()
+        self.cameras = Cameras()
+
+    def all_managers(self):
+        return (self.nodes, self.roots, self.meshes, self.materials,
+                self.models, self.lights, self.cameras)
+
+    def reset_change_notifications(self):
+        """The tick-cleanup callback body (SimpleViewer main.cpp:298-308)."""
+        for m in self.all_managers():
+            m.reset_change_notifications()
+
+    @property
+    def any_changes(self) -> bool:
+        return any(m.changes.any_changes for m in self.all_managers())
+
+
+def _transform_to_matrix(t: Transform) -> np.ndarray:
+    rot = np.asarray(quat_to_matrix(t.rotation), np.float32)
+    m = np.zeros((3, 4), np.float32)
+    m[:, :3] = rot * float(t.scale)
+    m[:, 3] = np.asarray(t.translation, np.float32)
+    return m
+
+
+class SceneSync:
+    """Rebuilds the RenderScene when the datamodel changed, and tracks the
+    progressive accumulation reset (Renderer.cpp:578-1205 collapsed)."""
+
+    def __init__(self, data: SceneData):
+        self.data = data
+        self._render_scene: Optional[RenderScene] = None
+        self.accumulations = 0
+
+    def handle_updates(self) -> RenderScene:
+        if self._render_scene is None or self.data.any_changes:
+            self._render_scene = self._build()
+            # Any visible change restarts progressive accumulation
+            # (Renderer.cpp:1202-1204).
+            self.accumulations = 0
+        return self._render_scene
+
+    def _build(self) -> RenderScene:
+        d = self.data
+        material_ids = list(d.materials)
+        mat_index = {int(uid): i for i, uid in enumerate(material_ids)}
+        mats = MaterialArray.build(
+            [d.materials.get_params(uid) for uid in material_ids]) \
+            if material_ids else MaterialArray.build([dict()])
+
+        instances = []
+        for model_id in d.models:
+            node, mesh_id, mat_id = d.models.get_binding(model_id)
+            mesh = d.meshes.get_mesh(mesh_id)
+            world = d.nodes.get_global_transform(node)
+            instances.append((mesh, mat_index.get(int(mat_id), 0),
+                              _transform_to_matrix(world)))
+
+        light_dicts = []
+        for light_id in d.lights:
+            li = d.lights.get_light(light_id)
+            node = li.pop("node")
+            t = d.nodes.get_global_transform(node)
+            li["position"] = tuple(np.asarray(t.translation))
+            if li["kind"] == LIGHT_DIRECTIONAL:
+                from bifrost3d_tpu.math.quaternion import quat_rotate
+                import jax.numpy as jnp
+                li["direction"] = tuple(np.asarray(
+                    quat_rotate(t.rotation, jnp.asarray([0.0, 0.0, 1.0]))))
+            light_dicts.append(li)
+        lights = LightArray.build(light_dicts)
+
+        env_map, env_tint = None, (0.0, 0.0, 0.0)
+        for root_id in d.roots:
+            env_map = d.roots.get_environment_map(root_id)
+            env_tint = d.roots.get_environment_tint(root_id)
+            break
+
+        return build_render_scene(instances, mats, lights,
+                                  environment_map=env_map,
+                                  environment_tint=env_tint)
