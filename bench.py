@@ -61,6 +61,27 @@ def count_rays_per_path():
     return total
 
 
+def bench_mesh_cornell(reps: int = 5):
+    """Secondary benchmark: the mesh CornellBox through the full wavefront
+    integrator (BVH/brute trace, DefaultShading, RIS NEE + MIS)."""
+    import jax
+    import jax.numpy as jnp
+    from bifrost3d_tpu.apps.scenes import create_cornell_box
+    from bifrost3d_tpu.integrator.path_tracer import RenderSettings, render_sample
+
+    scene, cam = create_cornell_box()
+    W = H = 256
+    settings = RenderSettings(max_bounce_count=4)
+    f = jax.jit(lambda n: render_sample(scene, cam, W, H, n, settings))
+    f(jnp.uint32(0)).block_until_ready()
+    t0 = time.perf_counter()
+    for n in range(1, reps + 1):
+        f(jnp.uint32(n)).block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    # 7 wavefront iterations, one camera/bounce ray + one shadow ray each.
+    return W * H * 7 * 2 / dt
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -95,12 +116,15 @@ def main():
     cpu_elapsed = time.perf_counter() - t0
     cpu_rays_per_sec = 256 * 192 * rays_per_path / cpu_elapsed
 
-    print(json.dumps({
+    result = {
         "metric": "smallpt_rays_per_sec",
         "value": round(rays_per_sec),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / cpu_rays_per_sec, 2),
-    }))
+    }
+    if "--full" in sys.argv:
+        result["mesh_cornell_ray_segments_per_sec"] = round(bench_mesh_cornell())
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

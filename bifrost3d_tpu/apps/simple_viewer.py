@@ -73,6 +73,10 @@ def main(argv=None):
     parser.add_argument("--tonemapper", default="filmic",
                         choices=["linear", "filmic", "agx", "khronos"])
     parser.add_argument("--path-regularization", type=float, default=0.0)
+    parser.add_argument("--renderer", default="pathtracer",
+                        choices=["pathtracer", "preview", "denoised"],
+                        help="path tracer, rasterizer-style preview (the "
+                             "reference's 'P' toggle), or denoised backend")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -113,6 +117,32 @@ def main(argv=None):
                                     aspect=width / height)
 
     t0 = time.time()
+    if args.renderer == "preview" and not args.aov:
+        from bifrost3d_tpu.preview import render_preview
+        hdr = render_preview(scene, camera, width, height)
+        mode = {"linear": TONEMAP_LINEAR, "filmic": TONEMAP_FILMIC,
+                "agx": TONEMAP_AGX, "khronos": TONEMAP_KHRONOS_NEUTRAL}[args.tonemapper]
+        post = CameraEffectsSettings.preset()._replace(
+            tonemapping_mode=mode, film_grain=0.0)
+        save_image(args.output, np.asarray(process(hdr, post)))
+        print(f"rendered {args.scene} preview {width}x{height} "
+              f"in {time.time() - t0:.1f}s -> {args.output}")
+        return
+    if args.renderer == "denoised" and not args.aov:
+        from bifrost3d_tpu.integrator.backend import DenoisedBackend
+        backend = DenoisedBackend(
+            scene, camera, width, height,
+            RenderSettings(max_bounce_count=args.max_bounces))
+        for _ in range(args.accumulations):
+            hdr = backend.render()
+        mode = {"linear": TONEMAP_LINEAR, "filmic": TONEMAP_FILMIC,
+                "agx": TONEMAP_AGX, "khronos": TONEMAP_KHRONOS_NEUTRAL}[args.tonemapper]
+        post = CameraEffectsSettings.preset()._replace(
+            tonemapping_mode=mode, film_grain=0.0)
+        save_image(args.output, np.asarray(process(hdr, post)))
+        print(f"rendered {args.scene} denoised {width}x{height} "
+              f"n={args.accumulations} in {time.time() - t0:.1f}s -> {args.output}")
+        return
     if args.aov:
         aovs = render_aovs(scene, camera, width, height)
         img = np.asarray(aovs[args.aov])

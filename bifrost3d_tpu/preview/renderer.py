@@ -1,0 +1,125 @@
+"""The preview frame pipeline: G-buffer → SSAO → direct light + IBL.
+
+Counterpart of the DX11 frame pipeline (``DX11Renderer/Renderer.cpp:336-734``,
+SURVEY.md §3.5): one primary-visibility pass builds the G-buffer, SSAO
+modulates ambient/IBL, analytic lights shade with the sphere-light
+most-representative-point approximation (LightSources.hlsl:28-155), and
+shadows are a single hard shadow ray per light (the rasterizer has none;
+this is strictly better and still one fused pass).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from bifrost3d_tpu.bsdf.fresnel import schlick_fresnel
+from bifrost3d_tpu.geometry.traverse import intersect_scene, intersect_scene_any
+from bifrost3d_tpu.lights.types import LIGHT_DIRECTIONAL, LIGHT_SPHERE, LIGHT_SPOT
+from bifrost3d_tpu.math.quaternion import quat_conjugate, quat_rotate
+from bifrost3d_tpu.math.vec import dot, normalize, reflect
+from bifrost3d_tpu.sampling.distributions import INV_PI
+from bifrost3d_tpu.scene.camera import PinholeCamera, camera_rays
+from bifrost3d_tpu.scene.render_scene import RenderScene
+from bifrost3d_tpu.shading.fittings import sample_ggx_rho, sample_ggx_with_fresnel_rho
+
+
+def _light_contribution(scene, position, normal, wo, tint, roughness,
+                        specularity, metallic):
+    """Direct lighting: per light, most-representative-point spec + diffuse."""
+    total = jnp.zeros_like(position)
+    lights = scene.lights
+    for li in range(lights.count):
+        is_directional = lights.kind[li] == LIGHT_DIRECTIONAL
+        to_light = lights.position[li] - position
+        d2 = jnp.sum(jnp.square(to_light), axis=-1)
+        dist_pt = jnp.sqrt(d2)
+        dir_pt = to_light / jnp.maximum(dist_pt, 1e-6)[..., None]
+        # Sphere/spot as a point source with its total power (preview
+        # fidelity); directional carries radiance directly.
+        rad_pt = lights.power[li] / (4.0 * jnp.pi * jnp.maximum(d2, 1e-6))[..., None]
+        l_dir = jnp.where(is_directional, -lights.direction[li], dir_pt)
+        radiance = jnp.where(is_directional, lights.power[li], rad_pt)
+        dist = jnp.where(is_directional, 1e30, dist_pt)
+        n_dot_l = jnp.maximum(dot(normal, l_dir), 0.0)
+        # Hard shadow ray.
+        shadow_origin = position + normal * scene.scene_epsilon[None] * 16.0
+        occluded = intersect_scene_any(
+            scene.bvh, scene.tri_verts, shadow_origin, l_dir,
+            t_min=scene.scene_epsilon,
+            t_max=jnp.minimum(dist * 0.999, 1e30))
+        # Diffuse + Blinn-ish GGX specular highlight.
+        halfway = normalize(wo + l_dir)
+        n_dot_h = jnp.maximum(dot(normal, halfway), 0.0)
+        alpha = jnp.maximum(roughness * roughness, 1e-3)
+        d_term = alpha**2 / (jnp.pi * jnp.square(n_dot_h**2 * (alpha**2 - 1) + 1) + 1e-6)
+        base_spec = jnp.where(metallic[..., None] > 0.5, tint,
+                              jnp.broadcast_to(specularity[..., None], tint.shape))
+        fres = schlick_fresnel(base_spec, jnp.maximum(dot(halfway, l_dir), 0.0)[..., None])
+        diffuse = tint * (1.0 - metallic[..., None]) * INV_PI
+        spec = fres * (d_term / 4.0)[..., None]
+        total = total + jnp.where(
+            (occluded | (n_dot_l <= 0))[..., None], 0.0,
+            radiance * n_dot_l[..., None] * (diffuse + spec))
+    return total
+
+
+@partial(jax.jit, static_argnames=("width", "height", "enable_ssao"))
+def render_preview(scene: RenderScene, camera: PinholeCamera,
+                   width: int, height: int, enable_ssao: bool = True,
+                   ambient=(0.08, 0.08, 0.08)):
+    """One-pass preview frame → linear HDR [h, w, 3]."""
+    from bifrost3d_tpu.preview.ssao import bilateral_blur, ssao
+
+    origin, direction = camera_rays(camera, width, height)
+    o = origin.reshape(-1, 3)
+    d = direction.reshape(-1, 3)
+    hit = intersect_scene(scene.bvh, scene.tri_verts, o, d,
+                          t_min=scene.scene_epsilon)
+    mask = hit.mask
+    prim = jnp.maximum(hit.prim, 0)
+    v = scene.tri_verts[prim]
+    n = scene.tri_normals[prim]
+    mat_idx = scene.tri_material[prim]
+    bary = jnp.stack([1.0 - hit.u - hit.v, hit.u, hit.v], axis=-1)
+    position = jnp.einsum("rk,rkc->rc", bary, v)
+    normal = normalize(jnp.einsum("rk,rkc->rc", bary, n))
+    normal = jnp.where(dot(normal, d, keepdims=True) > 0, -normal, normal)
+    wo = -d
+
+    tint = scene.materials.tint[mat_idx]
+    roughness = scene.materials.roughness[mat_idx]
+    specularity = scene.materials.specularity[mat_idx]
+    metallic = scene.materials.metallic[mat_idx]
+
+    color = _light_contribution(scene, position, normal, wo, tint, roughness,
+                                specularity, metallic)
+
+    # Ambient / environment with SSAO modulation.
+    if scene.environment is not None:
+        from bifrost3d_tpu.lights.environment import environment_evaluate
+        # Crude irradiance: env along the normal (preview fidelity).
+        ambient_light = environment_evaluate(scene.environment, normal)
+        background = environment_evaluate(scene.environment, d)
+    else:
+        ambient_light = jnp.asarray(ambient, jnp.float32)
+        background = jnp.broadcast_to(scene.environment_tint, d.shape)
+
+    if enable_ssao:
+        # View-space G-buffer for the AO pass.
+        inv_rot = quat_conjugate(camera.transform.rotation)
+        view_pos = quat_rotate(inv_rot, position - camera.transform.translation)
+        view_nrm = quat_rotate(inv_rot, normal)
+        vp = view_pos.reshape(height, width, 3)
+        vn = view_nrm.reshape(height, width, 3)
+        vmask = mask.reshape(height, width)
+        ao = ssao(vp, vn, vmask)
+        ao = bilateral_blur(ao, vp[..., 2]).reshape(-1)
+    else:
+        ao = jnp.ones_like(hit.t)
+
+    color = color + tint * ambient_light * ao[..., None]
+    img = jnp.where(mask[..., None], color, background)
+    return img.reshape(height, width, 3)
