@@ -20,6 +20,7 @@ from bifrost3d_tpu.bsdf.fresnel import dielectric_schlick_fresnel, schlick_fresn
 from bifrost3d_tpu.bsdf.types import BSDFResponse, BSDFSample
 from bifrost3d_tpu.math.vec import normalize
 from bifrost3d_tpu.sampling.distributions import (
+
     _ggx_lambda,
     ggx_bounded_vndf_pdf,
     ggx_bounded_vndf_sample,
@@ -27,6 +28,16 @@ from bifrost3d_tpu.sampling.distributions import (
     ggx_vndf_pdf,
     ggx_vndf_sample_halfway,
 )
+
+
+def _gsafe(x, floor):
+    """max with a gradient-safe floor: sqrt'(0) = inf would poison masked
+    lanes in backward passes, so never let the operand reach exactly 0."""
+    return jnp.maximum(x, jnp.maximum(floor, 1e-12))
+
+
+def _gclip(x, lo, hi):
+    return jnp.clip(x, jnp.maximum(lo, 1e-12), hi)
 
 MIN_ALPHA = 1e-4
 
@@ -69,9 +80,17 @@ def r_evaluate(alpha, specularity, wo, wi):
 
 
 def r_pdf(alpha, wo, wi):
-    """Bounded-VNDF reflection pdf; 0 when smooth (delta)."""
-    p = ggx_bounded_vndf_pdf(alpha, wo, wi)
-    return jnp.where(effectively_smooth(alpha), 0.0, p)
+    """Bounded-VNDF reflection pdf; 0 when smooth (delta) or cross-hemisphere.
+
+    Invalid (wo, wi) pairs are replaced by the mirror direction BEFORE the
+    pdf math so the masked-out lanes never produce inf/NaN in backward
+    passes (wi ≈ -wo gives a zero halfway vector otherwise).
+    """
+    same_hemi = wo[..., 2] * wi[..., 2] > 0.0
+    mirror = jnp.concatenate([-wo[..., :2], wo[..., 2:3]], axis=-1)
+    wi_safe = jnp.where(same_hemi[..., None], wi, mirror)
+    p = ggx_bounded_vndf_pdf(alpha, wo, wi_safe)
+    return jnp.where(effectively_smooth(alpha) | ~same_hemi, 0.0, p)
 
 
 def r_evaluate_with_pdf(alpha, specularity, wo, wi) -> BSDFResponse:
@@ -132,7 +151,7 @@ def _refract_about(halfway, wo, ior_i_over_o):
         jnp.asarray(ior_i_over_o, jnp.float32), wo.shape[:-1])[..., None]
     sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
     tir = sin2_t >= 1.0
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    cos_t = jnp.sqrt(_gsafe(1.0 - sin2_t, 0.0))
     wi = eta * (-wo) + (eta * cos_i - cos_t) * halfway
     return wi, tir[..., 0]
 

@@ -57,13 +57,18 @@ class OptimizeResult(NamedTuple):
 def optimize_materials(scene: RenderScene, camera, target,
                        width: int, height: int,
                        steps: int = 32, learning_rate: float = 5e-2,
-                       spp: int = 1,
+                       spp: int = 1, vary_samples: bool = True,
                        settings: RenderSettings = RenderSettings()) -> OptimizeResult:
     """Adam-optimize material parameters to match a target image.
 
     The inverse-rendering driver (BASELINE.json config 5): gradients are
     masked to the material SoA so geometry/lights stay fixed; tints and
     roughness are reprojected into their valid ranges each step.
+
+    ``vary_samples=False`` keeps the SAME sample sequence every step —
+    deterministic optimization against a same-seed target (no MC noise
+    floor in the loss); True cycles fresh samples per step (stochastic
+    gradient descent over the true expected loss).
     """
     opt = optax.adam(learning_rate)
     params = scene.materials
@@ -72,9 +77,10 @@ def optimize_materials(scene: RenderScene, camera, target,
     losses = []
     for step in range(steps):
         current = scene._replace(materials=params)
+        accumulation = step * spp if vary_samples else 0
         loss, grads = render_loss_grad(
             current, camera, target, width, height,
-            jnp.uint32(step * spp), settings, spp)
+            jnp.uint32(accumulation), settings, spp)
         g = (grads.materials.tint, grads.materials.roughness)
         updates, opt_state = opt.update(g, opt_state)
         new_tint, new_roughness = optax.apply_updates(

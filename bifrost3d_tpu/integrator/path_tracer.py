@@ -59,6 +59,19 @@ class RenderSettings(NamedTuple):
     path_regularization_decay: float = 0.0
     firefly_clamp: float = 4.0               # throughput clamp at light hits
     delta_light_clamp: float = 32.0          # f clamp for delta-light × specular
+    # Static hint: which shading models the scene uses (0 Default, 1 Diffuse,
+    # 2 Transmissive). Evaluating only present models skips whole dense
+    # pipelines — the TPU analogue of the reference's per-material closest-hit
+    # program selection (Renderer.cpp:753-850). Use settings_for_scene().
+    shading_models_present: tuple = (0, 1, 2)
+
+
+def settings_for_scene(scene: RenderScene, **overrides) -> RenderSettings:
+    """RenderSettings with the static shading-model hint filled from the
+    scene's concrete material table."""
+    present = tuple(sorted(set(
+        int(m) for m in np.asarray(scene.materials.shading_model))))
+    return RenderSettings(shading_models_present=present, **overrides)
 
 
 def _reverse_halton_offsets(count: int = 8) -> np.ndarray:
@@ -119,7 +132,10 @@ class _ShadingBundle(NamedTuple):
     model: jnp.ndarray  # [...] int32
 
 
-def _create_shading(materials, mat_idx, cos_theta_o, min_roughness):
+def _create_shading(materials, mat_idx, cos_theta_o, min_roughness,
+                    present=(0, 1, 2)):
+    """Construct only the shading models the scene uses (``present`` is
+    static — absent models cost nothing)."""
     tint = materials.tint[mat_idx]
     roughness = jnp.maximum(materials.roughness[mat_idx], min_roughness)
     default = DefaultShading.create(
@@ -130,44 +146,54 @@ def _create_shading(materials, mat_idx, cos_theta_o, min_roughness):
         coat=materials.coat[mat_idx],
         coat_roughness=jnp.maximum(
             materials.coat_roughness[mat_idx], min_roughness),
-        abs_cos_theta_o=jnp.abs(cos_theta_o))
-    diffuse = DiffuseShading.create(tint=tint, roughness=roughness)
+        abs_cos_theta_o=jnp.abs(cos_theta_o)) if 0 in present else None
+    diffuse = DiffuseShading.create(tint=tint, roughness=roughness) \
+        if 1 in present else None
     transmissive = TransmissiveShading.create(
         tint=tint, roughness=roughness,
         specularity=materials.specularity[mat_idx],
-        cos_theta_o=cos_theta_o)
+        cos_theta_o=cos_theta_o) if 2 in present else None
     return _ShadingBundle(default, diffuse, transmissive,
                           materials.shading_model[mat_idx])
 
 
 def _shading_evaluate_with_pdf(b: _ShadingBundle, wo, wi):
-    rd = b.default.evaluate_with_pdf(wo, wi)
-    rf = b.diffuse.evaluate_with_pdf(wo, wi)
-    rt = b.transmissive.evaluate_with_pdf(wo, wi)
+    parts = []
+    if b.default is not None:
+        parts.append((0, b.default.evaluate_with_pdf(wo, wi)))
+    if b.diffuse is not None:
+        parts.append((SHADING_DIFFUSE, b.diffuse.evaluate_with_pdf(wo, wi)))
+    if b.transmissive is not None:
+        parts.append((SHADING_TRANSMISSIVE,
+                      b.transmissive.evaluate_with_pdf(wo, wi)))
     m = b.model
-    f = jnp.where(m[..., None] == SHADING_DIFFUSE, rf.reflectance,
-                  jnp.where(m[..., None] == SHADING_TRANSMISSIVE,
-                            rt.reflectance, rd.reflectance))
-    pdf = jnp.where(m == SHADING_DIFFUSE, rf.pdf,
-                    jnp.where(m == SHADING_TRANSMISSIVE, rt.pdf, rd.pdf))
+    f, pdf = parts[0][1].reflectance, parts[0][1].pdf
+    for model, resp in parts[1:]:
+        f = jnp.where(m[..., None] == model, resp.reflectance, f)
+        pdf = jnp.where(m == model, resp.pdf, pdf)
     return f, pdf
 
 
 def _shading_sample(b: _ShadingBundle, wo, u3):
-    sd = b.default.sample(wo, u3)
-    sf = b.diffuse.sample(wo, u3)
-    st = b.transmissive.sample(wo, u3)
+    from bifrost3d_tpu.bsdf.types import BSDFSample
+
+    parts = []
+    if b.default is not None:
+        parts.append((0, b.default.sample(wo, u3)))
+    if b.diffuse is not None:
+        parts.append((SHADING_DIFFUSE, b.diffuse.sample(wo, u3)))
+    if b.transmissive is not None:
+        parts.append((SHADING_TRANSMISSIVE, b.transmissive.sample(wo, u3)))
     m = b.model
 
     def pick(field):
-        a = getattr(sd, field)
-        c = getattr(sf, field)
-        d = getattr(st, field)
-        mm = m[..., None] if a.ndim > m.ndim else m
-        return jnp.where(mm == SHADING_DIFFUSE, c,
-                         jnp.where(mm == SHADING_TRANSMISSIVE, d, a))
+        out = getattr(parts[0][1], field)
+        for model, s in parts[1:]:
+            val = getattr(s, field)
+            mm = m[..., None] if val.ndim > m.ndim else m
+            out = jnp.where(mm == model, val, out)
+        return out
 
-    from bifrost3d_tpu.bsdf.types import BSDFSample
     return BSDFSample(*(pick(f) for f in BSDFSample._fields))
 
 
@@ -386,7 +412,8 @@ def _wavefront_step(scene: RenderScene, settings: RenderSettings,
     else:
         min_roughness = jnp.zeros_like(cos_theta_o)
 
-    bundle = _create_shading(scene.materials, mat_idx, cos_theta_o, min_roughness)
+    bundle = _create_shading(scene.materials, mat_idx, cos_theta_o,
+                             min_roughness, settings.shading_models_present)
 
     # Surface emission.
     emission = scene.materials.emission[mat_idx]

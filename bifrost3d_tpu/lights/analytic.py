@@ -21,12 +21,23 @@ from bifrost3d_tpu.lights.types import (
 )
 from bifrost3d_tpu.math.vec import dot, length, normalize, to_world
 from bifrost3d_tpu.sampling.distributions import (
+
     PI,
     TWO_PI,
     concentric_disk_sample,
     cone_pdf,
     cone_sample,
 )
+
+
+def _gsafe(x, floor):
+    """max with a gradient-safe floor: sqrt'(0) = inf would poison masked
+    lanes in backward passes, so never let the operand reach exactly 0."""
+    return jnp.maximum(x, jnp.maximum(floor, 1e-12))
+
+
+def _gclip(x, lo, hi):
+    return jnp.clip(x, jnp.maximum(lo, 1e-12), hi)
 
 # Subtended-angle threshold below which a sphere light degrades to a point
 # light (SphereLightImpl.h sphere_light_small_sin_theta_squared).
@@ -43,7 +54,7 @@ def _ray_sphere_t(origin, direction, center, radius):
     op = center - origin
     b = dot(op, direction)
     det = radius * radius - (dot(op, op) - b * b)
-    sqrt_det = jnp.sqrt(jnp.maximum(det, 0.0))
+    sqrt_det = jnp.sqrt(_gsafe(det, 0.0))
     t = jnp.where(b - sqrt_det > 0, b - sqrt_det, b + sqrt_det)
     return jnp.where((det >= 0) & (t > 0), t, -1.0)
 
@@ -54,11 +65,11 @@ def sphere_light_sample(position, radius, power, lit_position, u2) -> LightSampl
     radius = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), batch)
     to_center = jnp.broadcast_to(position - lit_position, batch + (3,))
     dist2 = dot(to_center, to_center)
-    sin2 = radius * radius / jnp.maximum(dist2, 1e-20)
+    sin2 = radius * radius / jnp.maximum(dist2, 1e-10)
     is_point = sin2 <= _SMALL_SIN2
 
     # --- cone path ---
-    cos_theta_max = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+    cos_theta_max = jnp.sqrt(_gsafe(1.0 - sin2, 0.0))
     cone_dir, cone_p = cone_sample(cos_theta_max, u2)
     axis = normalize(to_center)
     direction = to_world(cone_dir, axis)
@@ -66,12 +77,12 @@ def sphere_light_sample(position, radius, power, lit_position, u2) -> LightSampl
     # Missed due to float imprecision: assume grazing hit.
     t = jnp.where(t <= 0.0, dot(to_center, direction), t)
     area = 4.0 * PI * radius * radius
-    radiance_cone = power / jnp.maximum(PI * area, 1e-20)[..., None]
+    radiance_cone = power / jnp.maximum(PI * area, 1e-10)[..., None]
 
     # --- point-light fallback ---
-    dist = jnp.sqrt(dist2)
+    dist = jnp.sqrt(_gsafe(dist2, 0.0))
     radiance_point = power / (4.0 * PI * dist2)[..., None]
-    dir_point = to_center / jnp.maximum(dist, 1e-20)[..., None]
+    dir_point = to_center / jnp.maximum(dist, 1e-10)[..., None]
     t_point = dist - radius
 
     pick = is_point[..., None]
@@ -86,8 +97,8 @@ def sphere_light_sample(position, radius, power, lit_position, u2) -> LightSampl
 
 def sphere_light_pdf(position, radius, lit_position, direction):
     to_center = position - lit_position
-    sin2 = radius * radius / jnp.maximum(dot(to_center, to_center), 1e-20)
-    cos_theta_max = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+    sin2 = radius * radius / jnp.maximum(dot(to_center, to_center), 1e-10)
+    cos_theta_max = jnp.sqrt(_gsafe(1.0 - sin2, 0.0))
     cos_theta = dot(direction, normalize(to_center))
     valid = (cos_theta >= cos_theta_max) & (sin2 > _SMALL_SIN2)
     return jnp.where(valid, cone_pdf(cos_theta_max), 0.0)
@@ -96,7 +107,7 @@ def sphere_light_pdf(position, radius, lit_position, direction):
 def sphere_light_evaluate(position, radius, power, lit_position):
     """Radiance along any direction that hits the sphere."""
     area = 4.0 * PI * radius * radius
-    return power / jnp.maximum(PI * area, 1e-20)[..., None]
+    return power / jnp.maximum(PI * area, 1e-10)[..., None]
 
 
 # ---------------------------------------------------------------------------
@@ -117,7 +128,7 @@ def spot_light_evaluate(position, radius, light_dir, cos_angle, power,
     d2 = jnp.sum(jnp.square(position - lit_position), axis=-1)
     area = PI * radius * radius
     norm = norm * jnp.where(is_delta, d2, area * cos_theta)
-    radiance = power / jnp.maximum(norm, 1e-20)[..., None]
+    radiance = power / jnp.maximum(norm, 1e-10)[..., None]
     return jnp.where((cos_theta > cos_angle)[..., None], radiance, 0.0)
 
 
@@ -129,12 +140,12 @@ def spot_light_sample(position, radius, light_dir, cos_angle, power,
     # Delta path.
     to_light = position - lit_position
     dist = length(to_light)
-    dir_delta = to_light / jnp.maximum(dist, 1e-20)[..., None]
+    dir_delta = to_light / jnp.maximum(dist, 1e-10)[..., None]
 
     # Decide cone vs disk: cone radius where the lit point's plane cuts it.
     t_plane = _ray_plane_t(lit_position, -light_dir, position, light_dir)
     cone_radius_at = t_plane * jnp.sqrt(
-        jnp.maximum(1.0 - cos_angle * cos_angle, 0.0)) / jnp.maximum(cos_angle, 1e-9)
+        _gsafe(1.0 - cos_angle * cos_angle, 0.0)) / jnp.maximum(cos_angle, 1e-9)
     use_cone = (radius > cone_radius_at) & (cos_angle > _MIN_SPOT_CONE)
 
     # Cone path: sample directions inside the spot cone, pointing backwards.
@@ -157,7 +168,7 @@ def spot_light_sample(position, radius, light_dir, cos_angle, power,
     sampled = position + xy[..., 0:1] * tangent + xy[..., 1:2] * bitangent
     to_s = sampled - lit_position
     dist_disk = length(to_s)
-    dir_disk = to_s / jnp.maximum(dist_disk, 1e-20)[..., None]
+    dir_disk = to_s / jnp.maximum(dist_disk, 1e-10)[..., None]
     cos_theta_disk = -dot(light_dir, dir_disk)
     pdf_disk = disk_p * dist_disk * dist_disk / jnp.maximum(cos_theta_disk, 1e-9)
     rad_disk = spot_light_evaluate(
@@ -181,7 +192,7 @@ def spot_light_pdf(position, radius, light_dir, cos_angle, lit_position, directi
     cos_theta = -dot(light_dir, direction)
     t_plane = _ray_plane_t(lit_position, -light_dir, position, light_dir)
     cone_radius_at = t_plane * jnp.sqrt(
-        jnp.maximum(1.0 - cos_angle * cos_angle, 0.0)) / jnp.maximum(cos_angle, 1e-9)
+        _gsafe(1.0 - cos_angle * cos_angle, 0.0)) / jnp.maximum(cos_angle, 1e-9)
     use_cone = (radius > cone_radius_at) & (cos_angle > _MIN_SPOT_CONE)
     pdf_cone = cone_pdf(cos_angle)
     # Disk hit distance.
@@ -221,7 +232,7 @@ def is_delta_light(lights: LightArray, index, lit_position):
     radius = lights.radius[index]
     pos = lights.position[index]
     sphere_delta = (radius * radius / jnp.maximum(
-        jnp.sum(jnp.square(pos - lit_position), axis=-1), 1e-20)) <= _SMALL_SIN2
+        jnp.sum(jnp.square(pos - lit_position), axis=-1), 1e-10)) <= _SMALL_SIN2
     return jnp.where(kind == LIGHT_SPHERE, sphere_delta,
                      jnp.where(kind == LIGHT_SPOT, radius == 0.0, True))
 

@@ -142,7 +142,7 @@ def environment_sample(light: EnvironmentLight, u2) -> LightSample:
     ph, pw = light.pdf_size
     xi = jnp.clip((uv[..., 0] * pw).astype(jnp.int32), 0, pw - 1)
     yi = jnp.clip((uv[..., 1] * ph).astype(jnp.int32), 0, ph - 1)
-    pdf = light.per_pixel_pdf[yi, xi] / jnp.maximum(sin_theta, 1e-20)
+    pdf = light.per_pixel_pdf[yi, xi] / jnp.maximum(sin_theta, 1e-10)
     pdf = jnp.where(sin_theta == 0.0, 0.0, pdf)
     return LightSample(
         direction=direction,
@@ -158,7 +158,7 @@ def environment_pdf(light: EnvironmentLight, direction):
     ph, pw = light.pdf_size
     xi = jnp.clip((uv[..., 0] * pw).astype(jnp.int32), 0, pw - 1)
     yi = jnp.clip((uv[..., 1] * ph).astype(jnp.int32), 0, ph - 1)
-    pdf = light.per_pixel_pdf[yi, xi] / jnp.maximum(sin_theta, 1e-20)
+    pdf = light.per_pixel_pdf[yi, xi] / jnp.maximum(sin_theta, 1e-10)
     return jnp.where(sin_theta == 0.0, 0.0, pdf)
 
 

@@ -12,6 +12,17 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def _gsafe(x, floor):
+    """max with a gradient-safe floor: sqrt'(0) = inf would poison masked
+    lanes in backward passes, so never let the operand reach exactly 0."""
+    return jnp.maximum(x, jnp.maximum(floor, 1e-12))
+
+
+def _gclip(x, lo, hi):
+    return jnp.clip(x, jnp.maximum(lo, 1e-12), hi)
+
+
+
 def vec3(x, y, z, dtype=jnp.float32):
     """Stack three broadcastable components into a trailing axis of size 3."""
     return jnp.stack(jnp.broadcast_arrays(
@@ -41,7 +52,7 @@ def distance(a, b):
 
 def safe_rsqrt(x, eps=1e-20):
     """Reciprocal square root that never divides by zero (autodiff-safe)."""
-    return jnp.where(x > eps, 1.0, 0.0) / jnp.sqrt(jnp.maximum(x, eps))
+    return jnp.where(x > eps, 1.0, 0.0) / jnp.sqrt(_gsafe(x, eps))
 
 
 def normalize(v, eps=1e-20):
@@ -74,7 +85,7 @@ def refract(direction, normal, eta):
     cos_i = -dot(direction, normal, keepdims=True)
     sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
     tir = sin2_t >= 1.0
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    cos_t = jnp.sqrt(_gsafe(1.0 - sin2_t, 0.0))
     refracted = eta * direction + (eta * cos_i - cos_t) * normal
     reflected = reflect(direction, normal)
     return jnp.where(tir, reflected, refracted), tir[..., 0]

@@ -14,6 +14,17 @@ import jax.numpy as jnp
 
 from bifrost3d_tpu.math.vec import lerp, normalize, reflect
 
+
+def _gsafe(x, floor):
+    """max with a gradient-safe floor: sqrt'(0) = inf would poison masked
+    lanes in backward passes, so never let the operand reach exactly 0."""
+    return jnp.maximum(x, jnp.maximum(floor, 1e-12))
+
+
+def _gclip(x, lo, hi):
+    return jnp.clip(x, jnp.maximum(lo, 1e-12), hi)
+
+
 PI = jnp.float32(jnp.pi)
 TWO_PI = jnp.float32(2.0 * jnp.pi)
 INV_PI = jnp.float32(1.0 / jnp.pi)
@@ -53,7 +64,7 @@ def cone_pdf(cos_theta_max):
 def cone_sample(cos_theta_max, u2):
     """Uniform direction in a cone about +z with half-angle acos(cos_theta_max)."""
     cos_theta = (1.0 - u2[..., 0]) + u2[..., 0] * cos_theta_max
-    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    sin_theta = jnp.sqrt(_gsafe(1.0 - cos_theta * cos_theta, 0.0))
     phi = TWO_PI * u2[..., 1]
     d = jnp.stack(
         [jnp.cos(phi) * sin_theta, jnp.sin(phi) * sin_theta, cos_theta], axis=-1)
@@ -69,7 +80,7 @@ def uniform_sphere_sample(u2):
     phi = jnp.where(
         r == 0.0, 0.0,
         (PI / 4) * ((jnp.abs(u[..., 0]) - jnp.abs(u[..., 1])) / safe_r + 1.0))
-    f = r * jnp.sqrt(jnp.maximum(2.0 - r * r, 0.0))
+    f = r * jnp.sqrt(_gsafe(2.0 - r * r, 0.0))
     x = f * jnp.sign(u[..., 0]) * jnp.cos(phi)
     y = f * jnp.sign(u[..., 1]) * jnp.sin(phi)
     z = jnp.sign(d) * (1.0 - r * r)
@@ -79,7 +90,7 @@ def uniform_sphere_sample(u2):
 
 def uniform_hemisphere_sample(u2):
     z = u2[..., 0]
-    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    r = jnp.sqrt(_gsafe(1.0 - z * z, 0.0))
     phi = TWO_PI * u2[..., 1]
     d = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
     return d, jnp.broadcast_to(0.5 * INV_PI, z.shape)
@@ -91,7 +102,7 @@ def cosine_hemisphere_pdf(abs_cos_theta):
 
 def cosine_hemisphere_sample(u2):
     r2 = u2[..., 0]
-    r = jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))
+    r = jnp.sqrt(_gsafe(1.0 - r2, 0.0))
     z = jnp.sqrt(r2)
     phi = TWO_PI * u2[..., 1]
     d = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
@@ -103,11 +114,16 @@ def cosine_hemisphere_sample(u2):
 # ---------------------------------------------------------------------------
 
 def ggx_ndf(alpha, abs_cos_theta):
-    """Isotropic GGX normal distribution D (Distributions.h GGX::D)."""
+    """Isotropic GGX normal distribution D (Distributions.h GGX::D).
+
+    Uses the division-free form a²/(π·(c²a² + s²)²) — algebraically equal to
+    the reference's tan²-based expression but finite (value AND gradient) at
+    the horizon c = 0, where the tan² form explodes under autodiff.
+    """
     a2 = alpha * alpha
     c2 = abs_cos_theta * abs_cos_theta
-    t2 = jnp.maximum(1.0 - c2, 0.0) / jnp.maximum(c2, 1e-20)
-    return a2 / (PI * jnp.square(c2 * (a2 + t2)) + 1e-35)
+    s2 = jnp.maximum(1.0 - c2, 0.0)
+    return a2 / (PI * jnp.square(c2 * a2 + s2) + 1e-35)
 
 
 def ggx_ndf_pdf(alpha, abs_cos_theta):
@@ -119,7 +135,7 @@ def ggx_ndf_sample(alpha, u2):
     phi = TWO_PI * u2[..., 1]
     tan2 = alpha * alpha * u2[..., 0] / jnp.maximum(1.0 - u2[..., 0], 1e-10)
     cos_theta = 1.0 / jnp.sqrt(1.0 + tan2)
-    r = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    r = jnp.sqrt(_gsafe(1.0 - cos_theta * cos_theta, 0.0))
     h = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), cos_theta], axis=-1)
     return h, ggx_ndf_pdf(alpha, cos_theta)
 
@@ -130,7 +146,7 @@ def ggx_ndf_sample(alpha, u2):
 
 def _ggx_lambda(alpha, w):
     """Smith lambda for isotropic GGX (VNDF eq. 2)."""
-    z2 = jnp.maximum(w[..., 2] * w[..., 2], 1e-20)
+    z2 = jnp.maximum(w[..., 2] * w[..., 2], 1e-12)
     return 0.5 * (-1.0 + jnp.sqrt(
         1.0 + (jnp.square(alpha * w[..., 0]) + jnp.square(alpha * w[..., 1])) / z2))
 
@@ -142,7 +158,7 @@ def ggx_vndf_sample_halfway(alpha, wo, u2):
         jnp.concatenate([wo[..., :2] * alpha, wo[..., 2:3]], axis=-1))
     phi = TWO_PI * u2[..., 1]
     z = (1.0 - u2[..., 0]) * (1.0 + wo_std[..., 2]) - wo_std[..., 2]
-    sin_theta = jnp.sqrt(jnp.clip(1.0 - z * z, 0.0, 1.0))
+    sin_theta = jnp.sqrt(_gclip(1.0 - z * z, 0.0, 1.0))
     c = jnp.stack([sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), z], axis=-1)
     wi_std = c + wo_std
     h = jnp.concatenate(
@@ -171,7 +187,7 @@ def _bounded_k(alpha, wo):
     """Eto 2023 eq. 5-6 shrinking factor for the spherical cap."""
     a2 = alpha * alpha
     s = 1.0 + jnp.sqrt(
-        jnp.maximum(wo[..., 0] ** 2 + wo[..., 1] ** 2, 0.0))
+        _gsafe(wo[..., 0] ** 2 + wo[..., 1] ** 2, 0.0))
     s2 = s * s
     return (1.0 - a2) * s2 / (s2 + a2 * wo[..., 2] * wo[..., 2])
 
@@ -190,7 +206,7 @@ def ggx_bounded_vndf_sample(alpha, wo, u2):
     k = _bounded_k(jnp.asarray(alpha, jnp.float32), wo)
     b = jnp.where(wo[..., 2] >= 0.0, k * wo_std[..., 2], wo_std[..., 2])
     z = (1.0 - u2[..., 0]) * (1.0 + b) - b
-    sin_theta = jnp.sqrt(jnp.clip(1.0 - z * z, 0.0, 1.0))
+    sin_theta = jnp.sqrt(_gclip(1.0 - z * z, 0.0, 1.0))
     o_std = jnp.stack(
         [sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), z], axis=-1)
     h_std = wo_std + o_std
@@ -206,11 +222,16 @@ def ggx_bounded_vndf_pdf(alpha, wo, wi):
     h = normalize(wo + wi)
     ndf = ggx_ndf(alpha, jnp.abs(h[..., 2]))
     ao2 = jnp.square(alpha * wo[..., 0]) + jnp.square(alpha * wo[..., 1])
-    t = jnp.sqrt(ao2 + wo[..., 2] * wo[..., 2])
+    t = jnp.sqrt(_gsafe(ao2 + wo[..., 2] * wo[..., 2], 0.0))
     k = _bounded_k(alpha, wo)
     upper = ndf / (2.0 * (k * wo[..., 2] + t))                 # Eq. 8
-    lower = ndf * (t - wo[..., 2]) / jnp.maximum(2.0 * ao2, 1e-20)  # Eq. 7
-    return jnp.where(wo[..., 2] >= 0.0, upper, lower)
+    # Eq. 7 for wo.z < 0. Double-where: the lower branch's denominator is
+    # forced to 1 on unselected lanes — the quotient rule would otherwise
+    # square the 1e-20 clamp into inf and NaN-poison backward passes.
+    neg = wo[..., 2] < 0.0
+    safe_ao2 = jnp.where(neg, jnp.maximum(2.0 * ao2, 1e-10), 1.0)
+    lower = ndf * (t - wo[..., 2]) / safe_ao2
+    return jnp.where(neg, lower, upper)
 
 
 # ---------------------------------------------------------------------------
@@ -234,7 +255,7 @@ def _ltc_tangents(wo):
     """2D rotation aligning wo's azimuth with +x (Distributions.h:196-204)."""
     wh = wo[..., :2]
     len2 = jnp.sum(wh * wh, axis=-1, keepdims=True)
-    x = jnp.where(len2 > 0.0, wh / jnp.sqrt(jnp.maximum(len2, 1e-20)),
+    x = jnp.where(len2 > 0.0, wh / jnp.sqrt(_gsafe(len2, 1e-20)),
                   jnp.asarray([1.0, 0.0], jnp.float32))
     return x  # X axis; Y = (-X.y, X.x)
 
@@ -248,13 +269,13 @@ def oren_nayar_cltc_sample(roughness, wo, u2):
     y = radius * jnp.sin(phi)
     vz = 1.0 / jnp.sqrt(d * d + 1.0)
     s = 0.5 * (1.0 + vz)
-    x = -lerp(jnp.sqrt(jnp.maximum(1.0 - y * y, 0.0)), x, s)
-    whz = jnp.sqrt(jnp.maximum(1.0 - (x * x + y * y), 0.0))
+    x = -lerp(jnp.sqrt(_gsafe(1.0 - y * y, 0.0)), x, s)
+    whz = jnp.sqrt(_gsafe(1.0 - (x * x + y * y), 0.0))
     pdf_wh = whz / (PI * s)
     wi = jnp.stack([a * x + b * whz, c * y, d * x + whz], axis=-1)
     wi_mag2 = jnp.sum(wi * wi, axis=-1)
     det_m = c * (a - b * d)
-    pdf_wi = pdf_wh * wi_mag2 * jnp.sqrt(wi_mag2) / jnp.maximum(det_m, 1e-20)
+    pdf_wi = pdf_wh * wi_mag2 * jnp.sqrt(wi_mag2) / jnp.maximum(det_m, 1e-10)
     # Rotate from LTC frame (wo azimuth on +x) back to tangent space.
     xaxis = _ltc_tangents(wo)
     cx, sx = xaxis[..., 0], xaxis[..., 1]
@@ -280,7 +301,7 @@ def oren_nayar_cltc_pdf(roughness, wo, wi):
     wh_mag2 = whx * whx + why * why + whz * whz
     vz = 1.0 / jnp.sqrt(d * d + 1.0)
     s = 0.5 * (1.0 + vz)
-    return (det_m * det_m / jnp.maximum(jnp.square(wh_mag2), 1e-20)
+    return (det_m * det_m / jnp.maximum(jnp.square(wh_mag2), 1e-10)
             * jnp.maximum(whz, 0.0) / (PI * s))
 
 
@@ -290,7 +311,7 @@ def oren_nayar_cltc_pdf(roughness, wo, wi):
 
 def henyey_greenstein_phase(g, cos_theta):
     denom = 1.0 + g * g + 2.0 * g * cos_theta
-    return (1.0 - g * g) / (4.0 * PI * denom * jnp.sqrt(jnp.maximum(denom, 1e-20)))
+    return (1.0 - g * g) / (4.0 * PI * denom * jnp.sqrt(_gsafe(denom, 1e-20)))
 
 
 def henyey_greenstein_sample(g, u2):
@@ -301,7 +322,7 @@ def henyey_greenstein_sample(g, u2):
     cos_theta_aniso = (1.0 + g * g - sqr_term * sqr_term) / (2.0 * safe_g)
     cos_theta_iso = 1.0 - 2.0 * u2[..., 0]
     cos_theta = jnp.where(jnp.abs(g) < 1e-3, cos_theta_iso, cos_theta_aniso)
-    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    sin_theta = jnp.sqrt(_gsafe(1.0 - cos_theta * cos_theta, 0.0))
     phi = TWO_PI * u2[..., 1]
     d = jnp.stack(
         [sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta], axis=-1)

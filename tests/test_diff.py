@@ -91,9 +91,11 @@ class TestInverseRendering:
         target = render_sample(target_scene, camera, W, H, 0, SETTINGS)
 
         start = make_scene(tint=(0.4, 0.6, 0.3))
+        # Same-seed target + fixed samples: the loss has no MC noise floor,
+        # so optimization must drive it down hard.
         result = optimize_materials(
             start, camera, target, W, H, steps=24, learning_rate=0.08,
-            settings=SETTINGS)
-        assert result.losses[-1] < 0.25 * result.losses[0]
+            vary_samples=False, settings=SETTINGS)
+        assert result.losses[-1] < 0.25 * result.losses[0], result.losses
         recovered = np.asarray(result.scene.materials.tint[0])
         np.testing.assert_allclose(recovered, [0.8, 0.2, 0.5], atol=0.15)
