@@ -29,17 +29,20 @@ def build_scene_from_file(path, environment_map, environment_tint):
     from bifrost3d_tpu.scene.materials import MaterialArray
     from bifrost3d_tpu.scene.render_scene import build_render_scene
 
+    texture_dicts = []
     if path.lower().endswith((".gltf", ".glb")):
-        meshes, material_dicts = load_gltf(path)
+        meshes, material_dicts, texture_dicts = load_gltf(path)
     elif path.lower().endswith(".obj"):
         meshes, material_dicts = load_obj(path)
     else:
         raise ValueError(f"unsupported scene file {path}")
+    from bifrost3d_tpu.io.texture import TextureBank
     mats = MaterialArray.build(material_dicts)
     instances = [(m, idx, None) for m, idx, _name in meshes]
     scene = build_render_scene(
         instances, mats, environment_map=environment_map,
-        environment_tint=environment_tint)
+        environment_tint=environment_tint,
+        textures=TextureBank.build(texture_dicts))
 
     # Frame the scene: camera on the diagonal at 2x the bounding radius.
     lo = np.asarray([np.asarray(m.positions).min(0) for m, _, _ in meshes]).min(0)

@@ -132,17 +132,51 @@ class _ShadingBundle(NamedTuple):
     model: jnp.ndarray  # [...] int32
 
 
+def _surface_material_params(scene: RenderScene, mat_idx, texcoord,
+                             tint_roughness_scale=None):
+    """Resolve per-hit material params: constants × texture fetches ×
+    per-vertex tint-roughness scale (the reference's get_tint_roughness /
+    get_metallic / get_coverage texture helpers, Types.h:353-416)."""
+    from bifrost3d_tpu.io.texture import sample_texture
+
+    mats = scene.materials
+    tint = mats.tint[mat_idx]
+    roughness = mats.roughness[mat_idx]
+    metallic = mats.metallic[mat_idx]
+    coverage = mats.coverage[mat_idx]
+    if texcoord is not None:
+        tr = sample_texture(scene.textures,
+                            mats.tint_roughness_texture[mat_idx], texcoord)
+        tint = tint * tr[..., :3]
+        roughness = roughness * tr[..., 3]
+        metallic = metallic * sample_texture(
+            scene.textures, mats.metallic_texture[mat_idx], texcoord)[..., 0]
+        coverage = coverage * sample_texture(
+            scene.textures, mats.coverage_texture[mat_idx], texcoord)[..., 0]
+    if tint_roughness_scale is not None:
+        tint = tint * tint_roughness_scale[..., :3]
+        roughness = roughness * tint_roughness_scale[..., 3]
+    return tint, roughness, metallic, coverage
+
+
 def _create_shading(materials, mat_idx, cos_theta_o, min_roughness,
-                    present=(0, 1, 2)):
+                    present=(0, 1, 2), tint=None, roughness=None,
+                    metallic=None):
     """Construct only the shading models the scene uses (``present`` is
-    static — absent models cost nothing)."""
-    tint = materials.tint[mat_idx]
-    roughness = jnp.maximum(materials.roughness[mat_idx], min_roughness)
+    static — absent models cost nothing). Textured params may be passed in
+    explicitly (from :func:`_surface_material_params`)."""
+    if tint is None:
+        tint = materials.tint[mat_idx]
+    if roughness is None:
+        roughness = materials.roughness[mat_idx]
+    if metallic is None:
+        metallic = materials.metallic[mat_idx]
+    roughness = jnp.maximum(roughness, min_roughness)
     default = DefaultShading.create(
         tint=tint,
         roughness=roughness,
         specularity=materials.specularity[mat_idx],
-        metallic=materials.metallic[mat_idx],
+        metallic=metallic,
         coat=materials.coat[mat_idx],
         coat_roughness=jnp.maximum(
             materials.coat_roughness[mat_idx], min_roughness),
@@ -369,7 +403,12 @@ def _wavefront_step(scene: RenderScene, settings: RenderSettings,
     position = jnp.einsum("rk,rkc->rc", bary, v)
     shading_normal = normalize(jnp.einsum("rk,rkc->rc", bary, n))
     texcoord = jnp.einsum("rk,rkc->rc", bary, uv)
+    tr_scale = jnp.einsum("rk,rkc->rc", bary, scene.tri_tint_roughness[prim])
     geo_normal = normalize(jnp.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]))
+
+    # Textured material parameters (tint/roughness/metallic/coverage).
+    tex_tint, tex_roughness, tex_metallic, tex_coverage = \
+        _surface_material_params(scene, mat_idx, texcoord, tr_scale)
 
     flags = scene.materials.flags[mat_idx]
     thin_walled = (flags & FLAG_THIN_WALLED) != 0
@@ -381,7 +420,7 @@ def _wavefront_step(scene: RenderScene, settings: RenderSettings,
     # Coverage / cutout (MonteCarlo.cu:152-164): stochastic transparency.
     u_bsdf4 = path_rng_4d(accumulation, pixel_hash,
                           bounce * Dimension.PER_BOUNCE + Dimension.BSDF)
-    coverage = scene.materials.coverage[mat_idx]
+    coverage = tex_coverage
     discard_coverage = coverage < u_bsdf4[..., 3]
     passthrough = mesh_hit & (backside_cull | discard_coverage)
 
@@ -413,7 +452,9 @@ def _wavefront_step(scene: RenderScene, settings: RenderSettings,
         min_roughness = jnp.zeros_like(cos_theta_o)
 
     bundle = _create_shading(scene.materials, mat_idx, cos_theta_o,
-                             min_roughness, settings.shading_models_present)
+                             min_roughness, settings.shading_models_present,
+                             tint=tex_tint, roughness=tex_roughness,
+                             metallic=tex_metallic)
 
     # Surface emission.
     emission = scene.materials.emission[mat_idx]

@@ -148,8 +148,97 @@ def _convert_material(gmat, doc):
     return out
 
 
-def load_gltf(path):
-    """→ (meshes, material_dicts): meshes = [(TriangleMesh, mat_idx, name)].
+def _load_gltf_image(doc, buffers, image_index, base_dir):
+    """Decode a glTF image (uri file, data uri, or bufferView) → float [h,w,c]
+    in [0,1], NOT yet linearized (caller decides per-channel semantics)."""
+    import io as _io
+
+    from PIL import Image as PILImage
+
+    img = doc["images"][image_index]
+    if "uri" in img:
+        uri = img["uri"]
+        if uri.startswith("data:"):
+            raw = base64.b64decode(uri.split(",", 1)[1])
+            pil = PILImage.open(_io.BytesIO(raw))
+        else:
+            pil = PILImage.open(os.path.join(base_dir, uri))
+    else:
+        view = doc["bufferViews"][img["bufferView"]]
+        data = buffers[view.get("buffer", 0)]
+        off = view.get("byteOffset", 0)
+        pil = PILImage.open(_io.BytesIO(data[off:off + view["byteLength"]]))
+    arr = np.asarray(pil).astype(np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    return arr
+
+
+def _repack_textures(doc, buffers, base_dir, material_dicts):
+    """The reference's channel repacking (glTFLoader.cpp:106-133):
+    glTF (baseColor rgb+a) + (metallicRoughness g=rough, b=metal) →
+    (tint_roughness rgba) + metallic + coverage textures, cached per
+    source-image pair. Returns (texture_dicts, updates material_dicts
+    in place with bank indices)."""
+    from bifrost3d_tpu.math.color import srgb_to_linear
+
+    textures = []
+    cache = {}
+
+    def image_of(tex_index):
+        return doc["textures"][tex_index].get("source", 0)
+
+    def add_texture(image_array):
+        textures.append(dict(image=image_array))
+        return len(textures) - 1
+
+    for m in material_dicts:
+        base_idx = m.pop("tint_texture_index", None)
+        mr_idx = m.pop("metallic_roughness_texture_index", None)
+        key = (base_idx, mr_idx)
+        if key == (None, None):
+            continue
+        if key not in cache:
+            base = (_load_gltf_image(doc, buffers, image_of(base_idx), base_dir)
+                    if base_idx is not None else None)
+            mr = (_load_gltf_image(doc, buffers, image_of(mr_idx), base_dir)
+                  if mr_idx is not None else None)
+            h = base.shape[0] if base is not None else mr.shape[0]
+            w = base.shape[1] if base is not None else mr.shape[1]
+            # tint (sRGB→linear) + roughness (G of metallicRoughness).
+            tr = np.ones((h, w, 4), np.float32)
+            if base is not None:
+                tr[..., :3] = np.asarray(srgb_to_linear(base[..., :3]))
+            if mr is not None:
+                if mr.shape[:2] != (h, w):
+                    from PIL import Image as PILImage
+                    mr = np.asarray(PILImage.fromarray(
+                        (mr * 255).astype(np.uint8)).resize((w, h))).astype(np.float32) / 255.0
+                    if mr.ndim == 2:
+                        mr = mr[..., None]
+                tr[..., 3] = mr[..., min(1, mr.shape[-1] - 1)]
+            entry = {"tint_roughness": add_texture(tr)}
+            if mr is not None:
+                entry["metallic"] = add_texture(
+                    mr[..., min(2, mr.shape[-1] - 1)][..., None])
+            if base is not None and base.shape[-1] == 4:
+                entry["coverage"] = add_texture(base[..., 3][..., None])
+            cache[key] = entry
+        entry = cache[key]
+        m["tint_roughness_texture"] = entry["tint_roughness"]
+        if "metallic" in entry:
+            m["metallic_texture"] = entry["metallic"]
+        if "coverage" in entry:
+            m["coverage_texture"] = entry["coverage"]
+        # Textured materials use the texture values scaled by factors —
+        # glTF factors default to 1 and multiply, which our integrator
+        # already does.
+    return textures
+
+
+def load_gltf(path, load_textures: bool = True):
+    """→ (meshes, material_dicts) or (meshes, material_dicts, texture_dicts)
+    with ``load_textures``; meshes = [(TriangleMesh, mat_idx, name)].
 
     Meshes arrive in world space (node hierarchy pre-flattened).
     """
@@ -166,6 +255,14 @@ def load_gltf(path):
         _convert_material(g, doc) for g in doc.get("materials", [])]
     if not material_dicts:
         material_dicts = [dict(tint=(0.8, 0.8, 0.8), roughness=0.8)]
+
+    texture_dicts = []
+    if load_textures and doc.get("textures"):
+        try:
+            texture_dicts = _repack_textures(
+                doc, buffers, os.path.dirname(path), material_dicts)
+        except Exception as e:  # pragma: no cover - corrupt texture data
+            warnings.warn(f"glTF: texture loading failed ({e})")
 
     meshes = []
 
@@ -219,4 +316,6 @@ def load_gltf(path):
     for root in roots:
         walk(root, np.eye(4, dtype=np.float32))
 
+    if load_textures:
+        return meshes, material_dicts, texture_dicts
     return meshes, material_dicts

@@ -22,6 +22,7 @@ from bifrost3d_tpu.lights.environment import (
     build_environment_light,
 )
 from bifrost3d_tpu.lights.types import LightArray
+from bifrost3d_tpu.io.texture import TextureBank
 from bifrost3d_tpu.scene.materials import MaterialArray
 
 
@@ -30,9 +31,11 @@ class RenderScene(NamedTuple):
     tri_verts: jnp.ndarray     # [t, 3, 3]
     tri_normals: jnp.ndarray   # [t, 3, 3] shading normals per corner
     tri_uvs: jnp.ndarray       # [t, 3, 2]
+    tri_tint_roughness: jnp.ndarray  # [t, 3, 4] per-vertex (tint rgb, roughness) scale
     tri_material: jnp.ndarray  # [t] int32
     bvh: BVH
     materials: MaterialArray
+    textures: TextureBank
     lights: LightArray
     environment: Optional[EnvironmentLight]  # None = tint-only background
     environment_tint: jnp.ndarray            # [3]
@@ -42,12 +45,13 @@ class RenderScene(NamedTuple):
 def build_render_scene(instances, materials: MaterialArray,
                        lights: Optional[LightArray] = None,
                        environment_map=None,
-                       environment_tint=(0.0, 0.0, 0.0)) -> RenderScene:
+                       environment_tint=(0.0, 0.0, 0.0),
+                       textures: Optional[TextureBank] = None) -> RenderScene:
     """instances: list of (TriangleMesh, material_index) or
     (TriangleMesh, material_index, matrix3x4)."""
     from bifrost3d_tpu.geometry.mesh import transform_mesh
 
-    verts, normals, uvs, mat_ids = [], [], [], []
+    verts, normals, uvs, trs, mat_ids = [], [], [], [], []
     for inst in instances:
         mesh, mat_id = inst[0], inst[1]
         if len(inst) > 2 and inst[2] is not None:
@@ -59,14 +63,19 @@ def build_render_scene(instances, materials: MaterialArray,
         nrm = np.asarray(mesh.normals)
         uv = (np.asarray(mesh.texcoords) if mesh.texcoords is not None
               else np.zeros((pos.shape[0], 2), np.float32))
+        tr = (np.asarray(mesh.tint_roughness)
+              if mesh.tint_roughness is not None
+              else np.ones((pos.shape[0], 4), np.float32))
         verts.append(pos[idx])
         normals.append(nrm[idx])
         uvs.append(uv[idx])
+        trs.append(tr[idx])
         mat_ids.append(np.full(idx.shape[0], mat_id, np.int32))
 
     tri_verts = np.concatenate(verts).astype(np.float32)
     tri_normals = np.concatenate(normals).astype(np.float32)
     tri_uvs = np.concatenate(uvs).astype(np.float32)
+    tri_tr = np.concatenate(trs).astype(np.float32)
     tri_material = np.concatenate(mat_ids)
 
     # Build the BVH over the flattened soup.
@@ -88,9 +97,11 @@ def build_render_scene(instances, materials: MaterialArray,
         tri_verts=jnp.asarray(tri_verts),
         tri_normals=jnp.asarray(tri_normals),
         tri_uvs=jnp.asarray(tri_uvs),
+        tri_tint_roughness=jnp.asarray(tri_tr),
         tri_material=jnp.asarray(tri_material),
         bvh=bvh,
         materials=materials,
+        textures=textures if textures is not None else TextureBank.build([]),
         lights=lights,
         environment=env,
         environment_tint=jnp.asarray(environment_tint, jnp.float32),

@@ -144,7 +144,7 @@ def _minimal_gltf(tmp_path):
 
 class TestGltfLoader:
     def test_load_with_trs_and_material(self, tmp_path):
-        meshes, mats = load_gltf(_minimal_gltf(tmp_path))
+        meshes, mats, _tex = load_gltf(_minimal_gltf(tmp_path))
         assert len(meshes) == 1
         mesh, mat_idx, _name = meshes[0]
         assert mesh.triangle_count == 1
@@ -175,6 +175,6 @@ class TestGltfLoader:
         glb += struct.pack("<II", len(bin_pad), 0x004E4942) + bin_pad
         p = tmp_path / "tri.glb"
         p.write_bytes(glb)
-        meshes, mats = load_gltf(str(p))
+        meshes, mats, _tex = load_gltf(str(p))
         assert len(meshes) == 1
         assert meshes[0][0].triangle_count == 1
