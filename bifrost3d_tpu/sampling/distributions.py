@@ -123,7 +123,12 @@ def ggx_ndf(alpha, abs_cos_theta):
     a2 = alpha * alpha
     c2 = abs_cos_theta * abs_cos_theta
     s2 = jnp.maximum(1.0 - c2, 0.0)
-    return a2 / (PI * jnp.square(c2 * a2 + s2) + 1e-35)
+    # Floor the quadratic term: live lobes have q >= MIN_ALPHA² = 1e-8, so
+    # 1e-9 never changes them, but a zeroed lobe (disabled coat, alpha = 0)
+    # with h == ±z would otherwise give a denominator whose SQUARE (taken by
+    # the division's backward rule) underflows float32 to 0 → 0/0 = NaN.
+    q = jnp.maximum(c2 * a2 + s2, 1e-9)
+    return a2 / (PI * q * q)
 
 
 def ggx_ndf_pdf(alpha, abs_cos_theta):
