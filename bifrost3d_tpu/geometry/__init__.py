@@ -22,7 +22,9 @@ from bifrost3d_tpu.geometry.mesh import (
 from bifrost3d_tpu.geometry.creation import (
     make_plane,
     make_box,
+    make_beveled_box,
     make_sphere,
+    make_spherical_box,
     make_cylinder,
     make_torus,
 )

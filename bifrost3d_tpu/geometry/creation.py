@@ -137,6 +137,47 @@ def make_cylinder(radius: float = 0.5, height: float = 1.0,
                  np.concatenate(parts_n), np.concatenate(parts_uv))
 
 
+def make_beveled_box(size=1.0, bevel: float = 0.1, segments: int = 4) -> TriangleMesh:
+    """Box with rounded (beveled) edges — MeshCreation::beveled_box
+    (``MeshCreation.cpp:158``).
+
+    ``bevel`` is the normalized bevel size in [0, 1] relative to half the
+    smallest extent. Built by projecting a tessellated box onto the rounded-
+    box surface: positions snap to ``core + bevel·normalize(p - core)`` with
+    ``core = clamp(p, ±(half - bevel))``; normals come from the projection
+    direction, so faces stay flat and edges/corners round smoothly.
+    """
+    size = np.broadcast_to(np.asarray(size, np.float64), (3,))
+    half = size * 0.5
+    b = float(np.clip(bevel, 0.0, 1.0)) * float(half.min())
+    base = make_box(size=size, segments=max(2 * segments, 2))
+    pos = np.asarray(base.positions, np.float64)
+    inner = np.maximum(half - b, 0.0)
+    core = np.clip(pos, -inner, inner)
+    d = pos - core
+    dist = np.linalg.norm(d, axis=-1, keepdims=True)
+    n = np.where(dist > 1e-12, d / np.maximum(dist, 1e-12),
+                 np.asarray(base.normals, np.float64))
+    new_pos = core + n * b
+    mesh = _mesh(np.asarray(base.indices), new_pos, n,
+                 np.asarray(base.texcoords))
+    from bifrost3d_tpu.geometry.mesh import merge_duplicate_vertices
+    return merge_duplicate_vertices(mesh, tolerance=1e-6)
+
+
+def make_spherical_box(radius: float = 0.5, segments: int = 8) -> TriangleMesh:
+    """Quad-sphere: tessellated cube projected onto a sphere —
+    MeshCreation::spherical_box (``MeshCreation.cpp:394``). More uniform
+    triangle areas than the revolved sphere (no pole pinching)."""
+    base = make_box(size=1.0, segments=segments)
+    pos = np.asarray(base.positions, np.float64)
+    n = pos / np.linalg.norm(pos, axis=-1, keepdims=True)
+    mesh = _mesh(np.asarray(base.indices), n * radius, n,
+                 np.asarray(base.texcoords))
+    from bifrost3d_tpu.geometry.mesh import merge_duplicate_vertices
+    return merge_duplicate_vertices(mesh, tolerance=1e-6)
+
+
 def make_torus(major_radius: float = 1.0, minor_radius: float = 0.25,
                major_segments: int = 32, minor_segments: int = 16) -> TriangleMesh:
     u = np.linspace(0, 2 * np.pi, major_segments + 1)

@@ -51,5 +51,10 @@ from bifrost3d_tpu.math.transform import (
 )
 from bifrost3d_tpu.math.distribution1d import Distribution1D
 from bifrost3d_tpu.math.distribution2d import Distribution2D
+from bifrost3d_tpu.math.ltc import (
+    IsotropicLTC,
+    lambert_ltc_coefficients,
+    oren_nayar_ltc_coefficients,
+)
 from bifrost3d_tpu.math.octahedral import octahedral_encode, octahedral_decode
 from bifrost3d_tpu.math.morton import morton_encode_2d, morton_decode_2d

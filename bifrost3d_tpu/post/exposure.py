@@ -61,4 +61,8 @@ def histogram_exposure(image, min_log_luminance=-4.0, max_log_luminance=4.0,
         max_log_luminance - min_log_luminance)
     bin_lum = jnp.exp2(bin_log_lum)
     avg = jnp.sum(contribution * bin_lum) / jnp.maximum(jnp.sum(contribution), 1e-6)
-    return _linear_exposure_from_average(avg, log_luminance_bias)
+    # Reference semantics (ReduceExposureHistogram.hlsl:153): plain
+    # exp2(bias)/average — the Krawczyk auto-key is only used by the
+    # log-average path (ReduceLogAverageLuminance.hlsl:61-62).
+    return jnp.exp2(jnp.asarray(log_luminance_bias, jnp.float32)) \
+        / jnp.maximum(avg, 1e-6)

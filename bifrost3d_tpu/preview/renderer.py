@@ -123,3 +123,27 @@ def render_preview(scene: RenderScene, camera: PinholeCamera,
     color = color + tint * ambient_light * ao[..., None]
     img = jnp.where(mask[..., None], color, background)
     return img.reshape(height, width, 3)
+
+
+class PreviewBackend:
+    """Adapter exposing the (stateless) preview rasterizer analogue through
+    the progressive-backend protocol, so the Compositor can host both
+    renderer kinds per camera — the role DX11OptiXAdaptor plays for the
+    reference (``DX11OptiXAdaptor/Adaptor.cpp:39-130``)."""
+
+    def __init__(self, scene, camera, width: int, height: int,
+                 enable_ssao: bool = True):
+        self.scene = scene
+        self.camera = camera
+        self.width = width
+        self.height = height
+        self.enable_ssao = enable_ssao
+        self.accumulations = 0
+
+    def reset(self) -> None:
+        self.accumulations = 0
+
+    def render(self):
+        self.accumulations += 1
+        return render_preview(self.scene, self.camera, self.width,
+                              self.height, enable_ssao=self.enable_ssao)

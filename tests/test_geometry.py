@@ -62,6 +62,43 @@ class TestMeshCreation:
         np.testing.assert_allclose(np.asarray(lo), [-0.5, -1.0, -1.5], atol=1e-6)
         np.testing.assert_allclose(np.asarray(hi), [0.5, 1.0, 1.5], atol=1e-6)
 
+    def test_spherical_box_lies_on_sphere(self):
+        from bifrost3d_tpu.geometry import make_spherical_box
+        mesh = make_spherical_box(radius=1.5, segments=6)
+        r = np.linalg.norm(np.asarray(mesh.positions), axis=-1)
+        np.testing.assert_allclose(r, 1.5, rtol=1e-5)
+        assert count_degenerate_primitives(mesh) == 0
+        assert normals_correspond_to_winding_order(mesh)
+        # Normals point radially outward.
+        n = np.asarray(mesh.normals)
+        p = np.asarray(mesh.positions) / r[:, None]
+        np.testing.assert_allclose(n, p, atol=1e-5)
+
+    def test_beveled_box_bounds_and_rounding(self):
+        from bifrost3d_tpu.geometry import make_beveled_box
+        mesh = make_beveled_box(size=1.0, bevel=0.2, segments=4)
+        lo, hi = mesh_aabb(mesh)
+        np.testing.assert_allclose(np.asarray(lo), [-0.5] * 3, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(hi), [0.5] * 3, atol=1e-6)
+        assert count_degenerate_primitives(mesh) == 0
+        assert normals_correspond_to_winding_order(mesh)
+        # No vertex sits outside the rounded-box surface: distance from the
+        # shrunken core is never more than the bevel radius.
+        b = 0.2 * 0.5
+        pos = np.asarray(mesh.positions)
+        core = np.clip(pos, -(0.5 - b), 0.5 - b)
+        d = np.linalg.norm(pos - core, axis=-1)
+        assert d.max() <= b + 1e-5
+        # Corners are actually rounded: the box corner is cut off.
+        assert np.linalg.norm(pos, axis=-1).max() < np.sqrt(3) * 0.5 - 1e-3
+
+    def test_beveled_box_zero_bevel_is_box(self):
+        from bifrost3d_tpu.geometry import make_beveled_box
+        mesh = make_beveled_box(size=(1.0, 2.0, 1.0), bevel=0.0, segments=2)
+        lo, hi = mesh_aabb(mesh)
+        np.testing.assert_allclose(np.asarray(lo), [-0.5, -1.0, -0.5], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(hi), [0.5, 1.0, 0.5], atol=1e-6)
+
 
 class TestMeshUtils:
     def test_hard_normals_are_face_normals(self):
