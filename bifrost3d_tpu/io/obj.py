@@ -65,8 +65,53 @@ def _parse_mtl(path):
     return materials
 
 
-def load_obj(path):
+def _assemble_group(positions, normals, uvs, fl):
+    """Shared mesh assembly: fl [t, 3, 3] of resolved (pos, uv, normal)
+    corner indices (-1 = absent) → expanded TriangleMesh."""
+    pos = positions[fl[..., 0]]                          # [t, 3, 3]
+    n = normals[fl[..., 2]] if normals is not None and (fl[..., 2] >= 0).all() \
+        else None
+    uv = uvs[fl[..., 1]] if uvs is not None and (fl[..., 1] >= 0).all() else None
+    t = fl.shape[0]
+    idx = np.arange(3 * t, dtype=np.int32).reshape(t, 3)
+    return TriangleMesh(
+        indices=jnp.asarray(idx),
+        positions=jnp.asarray(pos.reshape(-1, 3)),
+        normals=None if n is None else jnp.asarray(n.reshape(-1, 3)),
+        texcoords=None if uv is None else jnp.asarray(uv.reshape(-1, 2)),
+    )
+
+
+def _load_obj_native(path):
+    """Fast path through the C++ tokenizer (native/obj_parser.cpp); returns
+    None when the native library is unavailable."""
+    from bifrost3d_tpu.io.native_obj import parse_obj_native
+    raw = parse_obj_native(path)
+    if raw is None:
+        return None
+    mtl = _parse_mtl(os.path.join(os.path.dirname(path), raw["mtllib"])) \
+        if raw["mtllib"] else {}
+    ids = raw["tri_material"]
+    uniq, first_idx = np.unique(ids, return_index=True)
+    order = uniq[np.argsort(first_idx)]
+    material_dicts, meshes = [], []
+    for mat_idx, mid in enumerate(order):
+        name = None if mid < 0 else raw["material_names"][mid]
+        material_dicts.append(mtl.get(
+            name, dict(tint=(0.8, 0.8, 0.8), roughness=0.8)))
+        fl = raw["tri_corners"][ids == mid].astype(np.int64)
+        meshes.append((_assemble_group(raw["positions"], raw["normals"],
+                                       raw["uvs"], fl),
+                       mat_idx, name or "default"))
+    return meshes, material_dicts
+
+
+def load_obj(path, use_native: bool = True):
     """→ (meshes, material_dicts): meshes = [(TriangleMesh, mat_idx, name)]."""
+    if use_native:
+        result = _load_obj_native(path)
+        if result is not None:
+            return result
     positions, normals, uvs = [], [], []
     groups = {}  # material name -> list of face corner triples
     cur_mat = None

@@ -178,3 +178,70 @@ class TestGltfLoader:
         meshes, mats, _tex = load_gltf(str(p))
         assert len(meshes) == 1
         assert meshes[0][0].triangle_count == 1
+
+
+class TestNativeObjParser:
+    """The C++ tokenizer (native/obj_parser.cpp) and the Python fallback
+    must produce identical scenes — the lockstep test that licenses using
+    the native fast path by default."""
+
+    OBJ = """
+mtllib parity.mtl
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+vt 0 0
+vt 1 0
+vt 1 1
+vt 0 1
+vn 0 0 1
+usemtl red
+f 1/1/1 2/2/1 3/3/1 4/4/1
+usemtl blue
+f -4//-1 -3//-1 -2//-1
+f 1 2 4
+"""
+    MTL = """
+newmtl red
+Kd 0.8 0.1 0.1
+Ns 96
+newmtl blue
+Kd 0.1 0.1 0.9
+illum 5
+"""
+
+    def test_native_matches_python(self, tmp_path):
+        from bifrost3d_tpu.io.native_obj import native_available
+        if not native_available():
+            pytest.skip("no native toolchain")
+        (tmp_path / "parity.mtl").write_text(self.MTL)
+        p = tmp_path / "parity.obj"
+        p.write_text(self.OBJ)
+        mn, dn = load_obj(str(p), use_native=True)
+        mp, dp = load_obj(str(p), use_native=False)
+        assert dn == dp
+        assert len(mn) == len(mp) == 2
+        for (a, ia, na), (b, ib, nb) in zip(mn, mp):
+            assert (ia, na) == (ib, nb)
+            np.testing.assert_allclose(np.asarray(a.positions),
+                                       np.asarray(b.positions))
+            for buf in ("normals", "texcoords"):
+                ba, bb = getattr(a, buf), getattr(b, buf)
+                assert (ba is None) == (bb is None)
+                if ba is not None:
+                    np.testing.assert_allclose(np.asarray(ba), np.asarray(bb))
+
+    def test_quad_fan_and_negative_indices(self, tmp_path):
+        from bifrost3d_tpu.io.native_obj import parse_obj_native
+        if parse_obj_native.__module__ is None:  # pragma: no cover
+            pytest.skip("no native toolchain")
+        p = tmp_path / "fan.obj"
+        p.write_text("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf -4 -3 -2 -1\n")
+        raw = parse_obj_native(str(p))
+        if raw is None:
+            pytest.skip("no native toolchain")
+        assert raw["tri_corners"].shape == (2, 3, 3)
+        np.testing.assert_array_equal(raw["tri_corners"][:, :, 0],
+                                      [[0, 1, 2], [0, 2, 3]])
+        assert (raw["tri_material"] == -1).all()
