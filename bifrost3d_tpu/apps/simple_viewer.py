@@ -61,8 +61,8 @@ def main(argv=None):
                         help="built-in scene name or .obj/.gltf/.glb path")
     parser.add_argument("--environment-map", "-e", default=None,
                         help="latlong environment image (png/jpg/hdr/exr)")
-    parser.add_argument("--environment-tint", default="0,0,0",
-                        help="R,G,B background tint when no map is set")
+    parser.add_argument("--environment-tint", default="0.68,0.92,1.0",
+                        help="R,G,B background tint when no map is set (SimpleViewer default, main.cpp:58)")
     parser.add_argument("--window-size", default="512x512")
     parser.add_argument("--camera-position", default=None, help="x,y,z")
     parser.add_argument("--camera-target", default=None, help="x,y,z")
@@ -80,6 +80,11 @@ def main(argv=None):
                         choices=["pathtracer", "preview", "denoised"],
                         help="path tracer, rasterizer-style preview (the "
                              "reference's 'P' toggle), or denoised backend")
+    parser.add_argument("--checkpoint-dir", default=None,
+                        help="resume progressive accumulation from the "
+                             "latest checkpoint here and save new ones")
+    parser.add_argument("--checkpoint-every", type=int, default=64,
+                        help="checkpoint interval in accumulations")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -158,8 +163,32 @@ def main(argv=None):
         settings = RenderSettings(
             max_bounce_count=args.max_bounces,
             path_regularization_scale=args.path_regularization)
-        hdr = render_progressive(scene, camera, width, height,
-                                 args.accumulations, settings)
+        if args.checkpoint_dir:
+            # Durable progressive accumulation: resume → continue → save.
+            import os
+            from bifrost3d_tpu.integrator.backend import SimpleBackend
+            from bifrost3d_tpu.utils import (
+                latest_checkpoint, load_checkpoint, save_checkpoint)
+            backend = SimpleBackend(scene, camera, width, height, settings)
+            resume = latest_checkpoint(args.checkpoint_dir)
+            if resume is not None:
+                state, step, meta = load_checkpoint(
+                    resume, like={"buffer": backend.buffer})
+                if meta.get("scene") == args.scene and step < args.accumulations:
+                    backend.buffer = state["buffer"]
+                    backend.accumulations = step
+                    print(f"resumed at accumulation {step} from {resume}")
+            while backend.accumulations < args.accumulations:
+                hdr = backend.render()
+                n = backend.accumulations
+                if n % args.checkpoint_every == 0 or n == args.accumulations:
+                    save_checkpoint(
+                        os.path.join(args.checkpoint_dir, f"ckpt_{n}.npz"),
+                        {"buffer": backend.buffer}, step=n,
+                        metadata={"scene": args.scene})
+        else:
+            hdr = render_progressive(scene, camera, width, height,
+                                     args.accumulations, settings)
         mode = {"linear": TONEMAP_LINEAR, "filmic": TONEMAP_FILMIC,
                 "agx": TONEMAP_AGX, "khronos": TONEMAP_KHRONOS_NEUTRAL}[args.tonemapper]
         post = CameraEffectsSettings.preset()._replace(

@@ -32,6 +32,7 @@ def render_aovs(scene: RenderScene, camera: PinholeCamera,
     d = direction.reshape(-1, 3)
 
     hit = intersect_scene(scene.bvh, scene.tri_verts, o, d,
+                          tri_components=scene.tri_components,
                         t_min=scene.scene_epsilon)
     mask = hit.mask
     prim = jnp.maximum(hit.prim, 0)

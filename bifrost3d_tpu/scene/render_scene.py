@@ -40,6 +40,10 @@ class RenderScene(NamedTuple):
     environment: Optional[EnvironmentLight]  # None = tint-only background
     environment_tint: jnp.ndarray            # [3]
     scene_epsilon: jnp.ndarray               # scalar ray offset scale
+    # Component-major packed (v0, e1, e2) for the Pallas streaming
+    # intersector (geometry/pallas_intersect.py); None on scenes built by
+    # hand in tests — intersect_scene then falls back to XLA paths.
+    tri_components: Optional[jnp.ndarray] = None  # [16, T_pad]
 
 
 def build_render_scene(instances, materials: MaterialArray,
@@ -106,4 +110,11 @@ def build_render_scene(instances, materials: MaterialArray,
         environment=env,
         environment_tint=jnp.asarray(environment_tint, jnp.float32),
         scene_epsilon=jnp.asarray(max(extent, 1e-3) * 1e-4, jnp.float32),
+        tri_components=_packed_components(tri_verts),
     )
+
+
+def _packed_components(tri_verts) -> jnp.ndarray:
+    from bifrost3d_tpu.geometry.pallas_intersect import pack_triangles
+    comp, _ = pack_triangles(tri_verts)
+    return comp

@@ -250,3 +250,68 @@ class TestMorton:
         dx, dy = morton_decode_2d(code)
         np.testing.assert_array_equal(np.asarray(dx), np.asarray(x))
         np.testing.assert_array_equal(np.asarray(dy), np.asarray(y))
+
+
+class TestGeometryPrimitives:
+    """Plane/Line/Rect/Intersect/ImageSampling (Math/{Plane,Line,Rect,
+    Intersect,ImageSampling}.h counterparts)."""
+
+    def test_ray_plane(self):
+        from bifrost3d_tpu.math.geometry2d3d import Plane, intersect_ray_plane
+        plane = Plane.from_point_normal((0.0, 1.0, 0.0), (0.0, 1.0, 0.0))
+        t = intersect_ray_plane(jnp.asarray([0.0, 3.0, 0.0]),
+                                jnp.asarray([0.0, -1.0, 0.0]), plane)
+        np.testing.assert_allclose(float(t), 2.0, atol=1e-6)
+        # Parallel ray: no positive hit.
+        t = intersect_ray_plane(jnp.asarray([0.0, 3.0, 0.0]),
+                                jnp.asarray([1.0, 0.0, 0.0]), plane)
+        assert not (0.0 <= float(t) < 1e18)
+
+    def test_ray_sphere(self):
+        from bifrost3d_tpu.math.geometry2d3d import intersect_ray_sphere
+        t = intersect_ray_sphere(jnp.asarray([0.0, 0.0, -3.0]),
+                                 jnp.asarray([0.0, 0.0, 1.0]),
+                                 (0.0, 0.0, 0.0), 1.0)
+        np.testing.assert_allclose(float(t), 2.0, atol=1e-5)
+        # From inside: far hit.
+        t = intersect_ray_sphere(jnp.zeros(3), jnp.asarray([0.0, 0.0, 1.0]),
+                                 (0.0, 0.0, 0.0), 1.0)
+        np.testing.assert_allclose(float(t), 1.0, atol=1e-5)
+        # Miss → -1.
+        t = intersect_ray_sphere(jnp.asarray([5.0, 5.0, -3.0]),
+                                 jnp.asarray([0.0, 0.0, 1.0]),
+                                 (0.0, 0.0, 0.0), 1.0)
+        assert float(t) == -1.0
+
+    def test_line_through_and_fit(self):
+        from bifrost3d_tpu.math.geometry2d3d import Line
+        line = Line.through((0.0, 1.0), (2.0, 5.0))
+        np.testing.assert_allclose(float(line.slope), 2.0)
+        np.testing.assert_allclose(float(line.evaluate(3.0)), 7.0)
+        np.testing.assert_allclose(float(line.signed_distance(1.0, 4.0)), 1.0)
+        # Least-squares fit recovers a noiseless line exactly.
+        xs = jnp.linspace(0.0, 1.0, 16)
+        fit = Line.fit(xs, 3.0 * xs - 0.5)
+        np.testing.assert_allclose(float(fit.slope), 3.0, atol=1e-5)
+        np.testing.assert_allclose(float(fit.intercept), -0.5, atol=1e-5)
+
+    def test_bilinear_trilinear_sampling(self):
+        from bifrost3d_tpu.math.geometry2d3d import (
+            sample_bilinear, sample_trilinear)
+        img = jnp.asarray(np.arange(8, dtype=np.float32).reshape(2, 4, 1))
+        # Texel centers return exact values.
+        v = sample_bilinear(img, (0.5 + 0.0) / 4.0, (0.5 + 0.0) / 2.0)
+        np.testing.assert_allclose(np.asarray(v), [0.0], atol=1e-6)
+        v = sample_bilinear(img, (0.5 + 2.0) / 4.0, (0.5 + 1.0) / 2.0)
+        np.testing.assert_allclose(np.asarray(v), [6.0], atol=1e-6)
+        # Midpoint between texels interpolates; batch works.
+        v = sample_bilinear(img, jnp.asarray([1.0 / 4.0]), jnp.asarray([0.25]))
+        np.testing.assert_allclose(np.asarray(v), [[0.5]], atol=1e-6)
+        vol = jnp.asarray(np.arange(16, dtype=np.float32).reshape(2, 2, 4, 1))
+        t = sample_trilinear(vol, 0.125, 0.25, 0.5)
+        np.testing.assert_allclose(np.asarray(t), [4.0], atol=1e-6)
+
+    def test_rect(self):
+        from bifrost3d_tpu.math.geometry2d3d import Rect
+        r = Rect(2, 3, 10, 20)
+        assert r.offset == (2, 3) and r.size == (10, 20)
