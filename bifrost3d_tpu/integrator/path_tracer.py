@@ -290,6 +290,9 @@ def _reestimated_light_samples(scene, bundle, position, wo, shading_normal,
     direction = jnp.zeros_like(position)
     distance = jnp.zeros(position.shape[:-1])
     radiance = jnp.zeros_like(position)
+    if settings.next_event_sample_count <= 0:
+        # NEE disabled: no candidates (and no 0/0 from the average below).
+        return direction, distance, radiance
     for s in range(settings.next_event_sample_count):
         u4 = _toroidal_shift(u4_base, _RIS_OFFSETS[s])
         new_dir, new_dist, new_rad = _sample_single_light(

@@ -16,4 +16,6 @@ from bifrost3d_tpu.parallel.mesh import (
 from bifrost3d_tpu.parallel.render import (
     render_smallpt_sharded,
     make_sharded_smallpt,
+    make_sharded_render,
+    make_sharded_train_step,
 )

@@ -59,3 +59,118 @@ def render_smallpt_sharded(scene: SphereScene, width: int, height: int,
         frame = render(scene, n)
         buffer = buffer + (frame - buffer) / n
     return buffer
+
+
+# ---------------------------------------------------------------------------
+# Full wavefront integrator over the mesh (the production path)
+# ---------------------------------------------------------------------------
+
+def make_sharded_render(mesh, width: int, height: int, settings=None):
+    """Sharded mesh-scene render: (scene, camera, accumulation) → [H, W, 3].
+
+    Pixel rows shard over the 'tiles' axis; the RenderScene (triangle soup,
+    BVH, materials, lights, env tables) and camera replicate — the
+    BASELINE.json data-parallel layout. Zero collectives in the forward
+    pass; on hardware each device runs the Pallas intersector on its rows.
+    """
+    from bifrost3d_tpu.integrator.path_tracer import (
+        RenderSettings, render_sample_pixels)
+
+    settings = settings or RenderSettings()
+    n_dev = mesh.devices.size
+    padded_h = pad_to_multiple(height, n_dev)
+    y_all = jnp.broadcast_to(
+        jnp.arange(padded_h, dtype=jnp.uint32)[:, None], (padded_h, width))
+    x_all = jnp.broadcast_to(
+        jnp.arange(width, dtype=jnp.uint32)[None, :], (padded_h, width))
+
+    # check_vma=False: the Pallas intersector's ShapeDtypeStruct outputs
+    # carry no varying-mesh-axes annotation.
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(TILE_AXIS), P(TILE_AXIS), P()),
+             out_specs=P(TILE_AXIS), check_vma=False)
+    def _render_shard(scene, camera, x, y, accumulation):
+        return render_sample_pixels(scene, camera, x, y, width, height,
+                                    accumulation, settings)
+
+    @jax.jit
+    def render(scene, camera, accumulation):
+        img = _render_shard(scene, camera, x_all, y_all,
+                            jnp.asarray(accumulation, jnp.uint32))
+        return img[:height]
+
+    return render
+
+
+def make_sharded_train_step(mesh, width: int, height: int,
+                            settings=None, learning_rate: float = 5e-2):
+    """Sharded inverse-rendering step — the FULL training step of this
+    framework (BASELINE.json north star): forward wavefront over sharded
+    pixel rows, backward through shading/lights, material-gradient
+    **all-reduce (psum over ICI)**, replicated Adam update.
+
+    Returns (init_fn, step_fn):
+      init_fn(scene) -> (params, opt_state)
+      step_fn(params, opt_state, scene, camera, target, accumulation)
+          -> (params, opt_state, loss)
+    """
+    import optax
+    from bifrost3d_tpu.integrator.path_tracer import (
+        RenderSettings, render_sample_pixels)
+
+    settings = settings or RenderSettings()
+    n_dev = mesh.devices.size
+    padded_h = pad_to_multiple(height, n_dev)
+    y_all = jnp.broadcast_to(
+        jnp.arange(padded_h, dtype=jnp.uint32)[:, None], (padded_h, width))
+    x_all = jnp.broadcast_to(
+        jnp.arange(width, dtype=jnp.uint32)[None, :], (padded_h, width))
+    opt = optax.adam(learning_rate)
+    denom = float(width * height * 3)
+
+    def init_fn(scene):
+        params = {"tint": scene.materials.tint,
+                  "roughness": scene.materials.roughness}
+        return params, opt.init(params)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(), P(TILE_AXIS), P(TILE_AXIS),
+                       P(TILE_AXIS), P()),
+             out_specs=(P(), P()), check_vma=False)
+    def _loss_grad_shard(params, scene, camera, x, y, target_rows,
+                         accumulation):
+        def local_loss(p):
+            mats = scene.materials._replace(
+                tint=p["tint"], roughness=p["roughness"])
+            img = render_sample_pixels(
+                scene._replace(materials=mats), camera, x, y, width, height,
+                accumulation, settings)
+            # Local SUM of squared error; the mean's denominator is applied
+            # after the cross-device reduction. Rows >= height are padding
+            # (height was rounded up to the device count) and must not
+            # contribute error.
+            in_image = (y < height)[..., None]
+            return jnp.sum(jnp.where(in_image, jnp.square(img - target_rows),
+                                     0.0))
+
+        loss, grads = jax.value_and_grad(local_loss)(params)
+        # Gradient all-reduce over ICI — the DP collective.
+        loss = jax.lax.psum(loss, TILE_AXIS) / denom
+        grads = jax.tree.map(
+            lambda g: jax.lax.psum(g, TILE_AXIS) / denom, grads)
+        return loss, grads
+
+    @jax.jit
+    def step_fn(params, opt_state, scene, camera, target, accumulation):
+        target_pad = jnp.zeros((padded_h, width, 3), target.dtype
+                               ).at[:height].set(target)
+        loss, grads = _loss_grad_shard(
+            params, scene, camera, x_all, y_all, target_pad,
+            jnp.asarray(accumulation, jnp.uint32))
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        params = {"tint": jnp.clip(params["tint"], 0.0, 1.0),
+                  "roughness": jnp.clip(params["roughness"], 0.02, 1.0)}
+        return params, opt_state, loss
+
+    return init_fn, step_fn

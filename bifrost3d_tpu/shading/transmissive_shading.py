@@ -28,8 +28,16 @@ class TransmissiveShading(NamedTuple):
 
     @staticmethod
     def create(tint, roughness, specularity, cos_theta_o) -> "TransmissiveShading":
-        """``cos_theta_o`` is SIGNED: negative = viewed from inside."""
-        medium_ior = dielectric_ior_from_specularity(specularity)
+        """``cos_theta_o`` is SIGNED: negative = viewed from inside.
+
+        Specularity is clamped to the dielectric range [1e-4, 0.25] (IOR up
+        to 3, the reference's MAX_DENSE_IOR) BEFORE the IOR conversion: the
+        integrator evaluates every shading model on every lane and
+        where-selects, so metal lanes (specularity 1 → IOR ∞) would
+        otherwise produce masked-out NaNs that still poison backward passes.
+        """
+        medium_ior = dielectric_ior_from_specularity(
+            jnp.clip(specularity, 1e-4, 0.25))
         entering = cos_theta_o >= 0.0
         ior_i_over_o = jnp.where(entering, medium_ior, 1.0 / medium_ior)
         total_rho, _ = sample_dielectric_ggx_rho(
