@@ -116,14 +116,22 @@ def _use_pallas(tri_components, n_rays) -> bool:
 
 def intersect_scene(bvh: BVH, triangles, origin, direction,
                     t_min=1e-4, t_max=jnp.inf, any_hit: bool = False,
-                    tri_components=None) -> Hit:
+                    tri_components=None, tri_clustered=None) -> Hit:
     """Strategy dispatch (static under jit, so the choice costs nothing):
 
-    - TPU + packed triangles available → Pallas streaming kernel
-      (geometry/pallas_intersect.py), the production hot path.
-    - small meshes → dense XLA brute force (CPU tests, fallback).
+    - TPU + small scene → dense Pallas streaming kernel
+      (geometry/pallas_intersect.py).
+    - TPU + large scene → cluster-culled Pallas kernel
+      (geometry/pallas_clustered.py).
+    - small meshes elsewhere → dense XLA brute force (CPU tests, fallback).
     - beyond → lockstep BVH traversal.
     """
+    import jax
+    on_tpu = jax.default_backend() == "tpu"
+    if (tri_clustered is not None and on_tpu and origin.shape[0] >= 256):
+        from bifrost3d_tpu.geometry.pallas_clustered import clustered_intersect
+        return clustered_intersect(tri_clustered, origin, direction,
+                                   t_min, t_max)
     if _use_pallas(tri_components, origin.shape[0]):
         from bifrost3d_tpu.geometry.pallas_intersect import pallas_intersect
         return pallas_intersect(tri_components, triangles.shape[0],
@@ -136,9 +144,11 @@ def intersect_scene(bvh: BVH, triangles, origin, direction,
 
 
 def intersect_scene_any(bvh: BVH, triangles, origin, direction,
-                        t_min=1e-4, t_max=jnp.inf, tri_components=None):
+                        t_min=1e-4, t_max=jnp.inf, tri_components=None,
+                        tri_clustered=None):
     hit = intersect_scene(bvh, triangles, origin, direction, t_min, t_max,
-                          any_hit=True, tri_components=tri_components)
+                          any_hit=True, tri_components=tri_components,
+                          tri_clustered=tri_clustered)
     return hit.prim >= 0
 
 

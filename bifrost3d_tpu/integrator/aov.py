@@ -33,6 +33,7 @@ def render_aovs(scene: RenderScene, camera: PinholeCamera,
 
     hit = intersect_scene(scene.bvh, scene.tri_verts, o, d,
                           tri_components=scene.tri_components,
+                          tri_clustered=scene.tri_clustered,
                         t_min=scene.scene_epsilon)
     mask = hit.mask
     prim = jnp.maximum(hit.prim, 0)

@@ -365,7 +365,8 @@ def _wavefront_step(scene: RenderScene, settings: RenderSettings,
         intersect_scene(scene.bvh, scene.tri_verts,
                       jax.lax.stop_gradient(origin),
                       jax.lax.stop_gradient(direction), t_min=eps,
-                      tri_components=scene.tri_components))
+                      tri_components=scene.tri_components,
+                      tri_clustered=scene.tri_clustered))
     t_light, light_idx = _intersect_analytic_lights(scene, origin, direction)
 
     light_first = t_light < hit.t
@@ -477,7 +478,8 @@ def _wavefront_step(scene: RenderScene, settings: RenderSettings,
         scene.bvh, scene.tri_verts,
         jax.lax.stop_gradient(shadow_origin), jax.lax.stop_gradient(l_dir),
         t_min=eps, t_max=jax.lax.stop_gradient(l_dist) * (1.0 - 1e-4),
-        tri_components=scene.tri_components))
+        tri_components=scene.tri_components,
+                      tri_clustered=scene.tri_clustered))
     radiance = radiance + jnp.where(
         (has_light & ~occluded)[..., None], l_radiance, 0.0)
     nee_valid = jnp.sum(l_radiance, axis=-1) > 0.0

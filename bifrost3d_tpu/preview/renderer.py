@@ -50,7 +50,8 @@ def _light_contribution(scene, position, normal, wo, tint, roughness,
             scene.bvh, scene.tri_verts, shadow_origin, l_dir,
             t_min=scene.scene_epsilon,
             t_max=jnp.minimum(dist * 0.999, 1e30),
-            tri_components=scene.tri_components)
+            tri_components=scene.tri_components,
+                      tri_clustered=scene.tri_clustered)
         # Diffuse + Blinn-ish GGX specular highlight.
         halfway = normalize(wo + l_dir)
         n_dot_h = jnp.maximum(dot(normal, halfway), 0.0)
@@ -79,7 +80,8 @@ def render_preview(scene: RenderScene, camera: PinholeCamera,
     d = direction.reshape(-1, 3)
     hit = intersect_scene(scene.bvh, scene.tri_verts, o, d,
                           t_min=scene.scene_epsilon,
-                          tri_components=scene.tri_components)
+                          tri_components=scene.tri_components,
+                      tri_clustered=scene.tri_clustered)
     mask = hit.mask
     prim = jnp.maximum(hit.prim, 0)
     v = scene.tri_verts[prim]

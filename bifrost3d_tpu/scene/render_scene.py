@@ -44,6 +44,8 @@ class RenderScene(NamedTuple):
     # intersector (geometry/pallas_intersect.py); None on scenes built by
     # hand in tests — intersect_scene then falls back to XLA paths.
     tri_components: Optional[jnp.ndarray] = None  # [16, T_pad]
+    # Cluster-culled packing for large scenes (geometry/pallas_clustered.py).
+    tri_clustered: Optional[object] = None
 
 
 def build_render_scene(instances, materials: MaterialArray,
@@ -111,10 +113,22 @@ def build_render_scene(instances, materials: MaterialArray,
         environment_tint=jnp.asarray(environment_tint, jnp.float32),
         scene_epsilon=jnp.asarray(max(extent, 1e-3) * 1e-4, jnp.float32),
         tri_components=_packed_components(tri_verts),
+        tri_clustered=_packed_clusters(tri_verts, bvh),
     )
 
 
 def _packed_components(tri_verts) -> jnp.ndarray:
     from bifrost3d_tpu.geometry.pallas_intersect import pack_triangles
+    from bifrost3d_tpu.geometry.traverse import PALLAS_MAX_TRIS
+    if tri_verts.shape[0] > PALLAS_MAX_TRIS:
+        return None  # large scene: the clustered packing takes over
     comp, _ = pack_triangles(tri_verts)
     return comp
+
+
+def _packed_clusters(tri_verts, bvh):
+    from bifrost3d_tpu.geometry.pallas_clustered import pack_clustered
+    from bifrost3d_tpu.geometry.traverse import PALLAS_MAX_TRIS
+    if tri_verts.shape[0] <= PALLAS_MAX_TRIS:
+        return None  # small scene: dense streaming is faster
+    return pack_clustered(tri_verts, bvh)
