@@ -3,7 +3,7 @@
 Counterparts of the reference's SimpleViewer scenes
 (``apps/SimpleViewer/Scenes/*``, SURVEY.md §2.7): CornellBox (faithful to
 CornellBox.h:23-120 — 1-unit thin-walled room, iron + copper boxes, sphere
-light), MaterialScene (the roughness × metallic sphere grid), Veach MIS
+light), MaterialScene (seven Mori shader balls sweeping dielectric→gold), Veach MIS
 scene (plates of varying roughness under lights of varying size), plus
 Sphere / SphereLight / Glass / Opacity / Test scenes.
 
@@ -11,6 +11,8 @@ Each builder returns (RenderScene, PinholeCamera).
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import jax.numpy as jnp
@@ -21,6 +23,7 @@ from bifrost3d_tpu.math.quaternion import quat_from_axis_angle, quat_to_matrix
 from bifrost3d_tpu.scene.camera import perspective_camera
 from bifrost3d_tpu.scene.materials import (
     COPPER_TINT,
+    FLAG_CUTOUT,
     FLAG_THIN_WALLED,
     GOLD_TINT,
     IRON_TINT,
@@ -89,33 +92,79 @@ def create_cornell_box(environment_map=None):
     return scene, camera
 
 
-def create_material_scene(rows: int = 3, cols: int = 6, environment_map=None):
-    """MaterialScene.h behavior: a grid of spheres sweeping roughness along
-    x and metallic along y, on a grey floor under a directional light."""
-    material_dicts = [dielectric((0.5, 0.5, 0.5), 0.9)]
-    instances = [(make_plane(size=20.0), 0, _trs((0, -0.5, 0)))]
-    sphere = make_sphere(radius=0.35, slices=32, stacks=16)
-    for r in range(rows):
-        for c in range(cols):
-            metallic = r / max(rows - 1, 1)
-            roughness = c / max(cols - 1, 1)
-            material_dicts.append(dict(
-                tint=GOLD_TINT, roughness=roughness, metallic=metallic,
-                specularity=0.04))
-            instances.append((
-                sphere, len(material_dicts) - 1,
-                _trs((c - (cols - 1) / 2, 0.0, r - (rows - 1) / 2))))
+SHADERBALL_PATH = os.environ.get(
+    "BIFROST_SHADERBALL",
+    "/root/reference/apps/SimpleViewer/Resources/Shaderball.gltf")
+
+MATERIAL_SCENE_COUNT = 7  # MaterialGUI::material_count (Material.cpp:20)
+
+
+def _load_shader_ball_meshes():
+    """Scenes/Utils.cpp load_shader_ball: keep Node5 (outside, gets the
+    test material) and Node2 (inside, rubber); drop the rest. Returns
+    (outside_mesh, inside_mesh) or None when the asset isn't available."""
+    if not os.path.exists(SHADERBALL_PATH):
+        return None
+    from bifrost3d_tpu.io.gltf import load_gltf
+    meshes = load_gltf(SHADERBALL_PATH, load_textures=False)[0]
+    by_name = {name: mesh for mesh, _, name in meshes}
+    if "Node5" not in by_name or "Node2" not in by_name:
+        return None
+    return by_name["Node5"], by_name["Node2"]
+
+
+def create_material_scene(environment_map=None):
+    """Material.cpp create_material_scene: seven Mori shader balls sweeping
+    from a teal dielectric (roughness 1) to gold metal (roughness 0.02),
+    rubber inside, on the checkered floor, lit by one directional light."""
+    mat0 = dict(tint=(0.02, 0.27, 0.33), roughness=1.0, specularity=0.04,
+                metallic=0.0)
+    mat1 = dict(tint=GOLD_TINT, roughness=0.02, specularity=0.04,
+                metallic=1.0)
+
+    floor_mesh, floor_mat, floor_tex = _checkered_floor_parts()
+    from bifrost3d_tpu.io.texture import TextureBank
+    textures = TextureBank.build([floor_tex])
+    floor_mat["tint_roughness_texture"] = 0
+
+    material_dicts = [floor_mat, dielectric((0.05, 0.05, 0.05), 1.0)]
+    n = MATERIAL_SCENE_COUNT
+    for m in range(n):
+        t = m / (n - 1.0)
+        material_dicts.append(dict(
+            tint=tuple(np.asarray(mat0["tint"]) * (1 - t)
+                       + np.asarray(mat1["tint"]) * t),
+            roughness=mat0["roughness"] * (1 - t) + mat1["roughness"] * t,
+            specularity=0.04,
+            metallic=t))
     mats = MaterialArray.build(material_dicts)
+
+    instances = [(floor_mesh, 0, _trs((0, -1.0, 0)))]
+    ball = _load_shader_ball_meshes()
+    spacing = 1.2
+    x0 = -spacing * 0.5 * (n - 1)
+    for m in range(n):
+        x = x0 + m * spacing
+        if ball is not None:
+            outside, inside = ball
+            instances.append((outside, 2 + m, _trs((x, 0, 0), scale=2.0)))
+            instances.append((inside, 1, _trs((x, 0, 0), scale=2.0)))
+        else:  # asset not mounted: spheres keep the scene usable
+            instances.append((make_sphere(radius=0.5, slices=32, stacks=16),
+                              2 + m, _trs((x, 0.0, 0))))
+
+    # Directional light from (20, 20, -20) toward the origin
+    # (Material.cpp:141-146), radiance (3, 2.9, 2.5).
+    ldir = -np.asarray([20.0, 20.0, -20.0], F32)
+    ldir /= np.linalg.norm(ldir)
     lights = LightArray.build([
-        {"kind": LIGHT_DIRECTIONAL, "direction": (-0.2, -1.0, 0.3),
-         "radiance": (2.0, 2.0, 2.0)},
-        {"kind": LIGHT_SPHERE, "position": (0, 6.0, -4.0), "radius": 1.0,
-         "power": (400.0, 400.0, 400.0)}])
-    env = environment_map if environment_map is not None else \
-        np.full((16, 32, 3), 0.4, F32)
-    scene = build_render_scene(instances, mats, lights, environment_map=env)
+        {"kind": LIGHT_DIRECTIONAL, "direction": tuple(ldir),
+         "radiance": (3.0, 2.9, 2.5)}])
+    scene = build_render_scene(instances, mats, lights,
+                               environment_map=environment_map,
+                               textures=textures)
     camera = perspective_camera(
-        eye=(0, 2.2, -5.5), target=(0, -0.2, 0), fov_radians=PI / 4,
+        eye=(0, 5.5, -18.5), target=(0, 0.5, 0), fov_radians=PI / 4,
         aspect=1.0)
     return scene, camera
 
@@ -205,21 +254,71 @@ def create_glass_scene():
     return scene, camera
 
 
+def _checkered_floor_parts(floor_size=400.0, checker_size=1.0,
+                           tint=(0.02, 0.27, 0.33), roughness=0.3):
+    """Scenes/Utils.cpp create_checkered_floor: a thin-walled plane with a
+    2x2 sRGB checker tint-roughness texture repeated across the floor.
+    Returns (mesh, material_dict, texture_dict)."""
+    from bifrost3d_tpu.io.texture import FILTER_NONE
+    from bifrost3d_tpu.math.color import srgb_to_linear
+
+    checker = np.zeros((2, 2, 4), F32)
+    for y in range(2):
+        for x in range(2):
+            is_black = (x & 1) != (y & 1)
+            intensity = 1 / 255.0 if is_black else 1.0
+            checker[y, x, :3] = float(srgb_to_linear(intensity))
+            checker[y, x, 3] = 15 / 255.0 if is_black else 1.0
+    texture = {"image": checker, "filter": FILTER_NONE}
+
+    mesh = make_plane(size=floor_size)
+    # Texcoords match the checker size, centered for precision
+    # (Utils.cpp: uv_scale = floor_size / (2 * checker_size)).
+    uv_scale = floor_size / (2.0 * checker_size)
+    mesh = mesh._replace(
+        texcoords=(np.asarray(mesh.texcoords) - 0.5) * uv_scale)
+    material = dict(tint=tint, roughness=roughness, flags=FLAG_THIN_WALLED)
+    return mesh, material, texture
+
+
 def create_opacity_scene():
-    """OpacityScene.h analogue: cutout and partial-coverage planes over a
-    bright backdrop."""
+    """Opacity.h: checkered floor, a 0.1-radius sphere light inside a
+    17x17-grid CUTOUT box ("Swizz box"), and two thin-walled
+    coverage-0.75 planes in front (Opacity.h:27-107)."""
+    from bifrost3d_tpu.io.texture import FILTER_NONE, TextureBank
+
+    floor_mesh, floor_mat, floor_tex = _checkered_floor_parts()
+
+    # 17x17 Alpha8 grid: opaque lines, holes in the cell centers
+    # (Opacity.h:57-68); sampled with nearest filtering.
+    grid = np.zeros((17, 17, 1), F32)
+    for y in range(17):
+        for x in range(17):
+            grid[y, x, 0] = 1.0 if ((x & 1) == 0 or (y & 1) == 0) else 0.0
+
+    textures = TextureBank.build([
+        floor_tex,
+        {"image": grid, "filter": FILTER_NONE}])
+
+    floor_mat["tint_roughness_texture"] = 0
     mats = MaterialArray.build([
-        dielectric((0.7, 0.7, 0.7), 0.8),
-        dict(tint=(0.9, 0.2, 0.2), roughness=0.6, coverage=0.5,
-             flags=FLAG_THIN_WALLED),
-        emissive((2.0, 2.0, 2.0))])
-    quad_up = _trs((0, 0, 0.5), (1, 0, 0), -HALF_PI)
+        floor_mat,
+        dict(tint=(0.005, 0.01, 0.25), roughness=0.05, coverage=1.0,
+             flags=FLAG_CUTOUT, coverage_texture=1),
+        dict(tint=(0.25, 0.25, 0.25), roughness=0.95, coverage=0.75,
+             flags=FLAG_THIN_WALLED)])
+
+    plane = make_plane(size=1.0)
     instances = [
-        (make_plane(size=10.0), 0, _trs((0, -0.5, 0))),
-        (make_plane(size=1.0), 1, _trs((0, 0, 0), (1, 0, 0), -HALF_PI)),
-        (make_plane(size=4.0), 2, quad_up)]
-    scene = build_render_scene(instances, mats)
-    camera = perspective_camera(eye=(0, 0.2, -2.0), target=(0, 0, 0),
+        (floor_mesh, 0, _trs((0, -0.0005, 0))),
+        (make_box(size=1.0), 1, _trs((0, 0.5, 0))),
+        (plane, 2, _trs((1.0, 1.0, -2.0), (1, 0, 0), HALF_PI, 2.0)),
+        (plane, 2, _trs((0.0, 0.25, -3.0), (1, 0, 0), HALF_PI, 1.0))]
+    lights = LightArray.build([
+        {"kind": LIGHT_SPHERE, "position": (0, 0.5, 0), "radius": 0.1,
+         "power": (50.0, 50.0, 50.0)}])
+    scene = build_render_scene(instances, mats, lights, textures=textures)
+    camera = perspective_camera(eye=(0, 1.0, -6.0), target=(0, 1.0, 0),
                                 fov_radians=PI / 4, aspect=1.0)
     return scene, camera
 

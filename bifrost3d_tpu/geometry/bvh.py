@@ -75,10 +75,10 @@ def build_bvh(positions, indices, use_native: bool = True) -> BVH:
                                tri_max.astype(np.float32), MAX_LEAF_SIZE)
         if res is not None:
             node_min, node_max, node_a, node_count, prim_order = res
-            return BVH(
+            return _check_stack_depth(BVH(
                 node_min=jnp.asarray(node_min), node_max=jnp.asarray(node_max),
                 node_a=jnp.asarray(node_a), node_count=jnp.asarray(node_count),
-                prim_indices=jnp.asarray(prim_order))
+                prim_indices=jnp.asarray(prim_order)))
 
     # Worst case 2t-1 nodes.
     cap = max(2 * t, 2)
@@ -191,10 +191,29 @@ def build_bvh(positions, indices, use_native: bool = True) -> BVH:
 
     emit(0, t)
 
-    return BVH(
+    return _check_stack_depth(BVH(
         node_min=jnp.asarray(node_min[:n_nodes]),
         node_max=jnp.asarray(node_max[:n_nodes]),
         node_a=jnp.asarray(node_a[:n_nodes]),
         node_count=jnp.asarray(node_cnt[:n_nodes]),
         prim_indices=jnp.asarray(prim_order),
-    )
+    ))
+
+
+def _check_stack_depth(bvh: BVH) -> BVH:
+    """Refuse to hand back a tree deeper than the traversal stack.
+
+    ``intersect_bvh`` uses a fixed per-ray stack (traverse.STACK_SIZE); a
+    deeper tree would silently drop pushed nodes and return wrong hits.
+    Binned-SAH trees with 4-triangle leaves stay far below the limit, so
+    exceeding it means a pathological input — fail loudly at build time.
+    """
+    from bifrost3d_tpu.geometry.traverse import STACK_SIZE
+    depth = bvh.max_depth
+    if depth + 1 > STACK_SIZE:
+        raise ValueError(
+            f"BVH depth {depth} exceeds the traversal stack "
+            f"(STACK_SIZE={STACK_SIZE}); the input mesh is pathological "
+            "(e.g. a long chain of coincident triangles). Split or clean "
+            "the mesh, or raise traverse.STACK_SIZE.")
+    return bvh

@@ -59,6 +59,18 @@ class RenderSettings(NamedTuple):
     path_regularization_decay: float = 0.0
     firefly_clamp: float = 4.0               # throughput clamp at light hits
     delta_light_clamp: float = 32.0          # f clamp for delta-light × specular
+    # Static hint: the scene contains semi-transparent surfaces (coverage<1,
+    # coverage textures, or cutouts). When set, shadow rays march through up
+    # to ``shadow_coverage_steps`` surfaces multiplying throughput by
+    # 1-coverage — the analogue of the reference's shadow_any_hit
+    # (MonteCarlo.cu:278-285). When clear, occlusion is a single binary
+    # any-hit query. Use settings_for_scene() to fill it.
+    coverage_aware_shadows: bool = False
+    shadow_coverage_steps: int = 4
+    # Use the presampled environment pool for NEE when the scene carries one
+    # (the reference's default, Defines.h:15). Falls back to 2-level CDF
+    # search when the scene has no pool.
+    use_presampled_environment: bool = True
     # Static hint: which shading models the scene uses (0 Default, 1 Diffuse,
     # 2 Transmissive). Evaluating only present models skips whole dense
     # pipelines — the TPU analogue of the reference's per-material closest-hit
@@ -67,10 +79,16 @@ class RenderSettings(NamedTuple):
 
 
 def settings_for_scene(scene: RenderScene, **overrides) -> RenderSettings:
-    """RenderSettings with the static shading-model hint filled from the
-    scene's concrete material table."""
+    """RenderSettings with static scene-content hints filled from the
+    concrete material table (shading models present, semi-transparency)."""
     present = tuple(sorted(set(
         int(m) for m in np.asarray(scene.materials.shading_model))))
+    mats = scene.materials
+    semi_transparent = bool(
+        np.any(np.asarray(mats.coverage) < 1.0)
+        or np.any(np.asarray(mats.coverage_texture) >= 0)
+        or np.any(np.asarray(mats.flags) & FLAG_CUTOUT))
+    overrides.setdefault("coverage_aware_shadows", semi_transparent)
     return RenderSettings(shading_models_present=present, **overrides)
 
 
@@ -143,7 +161,8 @@ def _surface_material_params(scene: RenderScene, mat_idx, texcoord,
     tint = mats.tint[mat_idx]
     roughness = mats.roughness[mat_idx]
     metallic = mats.metallic[mat_idx]
-    coverage = mats.coverage[mat_idx]
+    coverage_or_threshold = mats.coverage[mat_idx]
+    coverage_tex = None
     if texcoord is not None:
         tr = sample_texture(scene.textures,
                             mats.tint_roughness_texture[mat_idx], texcoord)
@@ -151,8 +170,18 @@ def _surface_material_params(scene: RenderScene, mat_idx, texcoord,
         roughness = roughness * tr[..., 3]
         metallic = metallic * sample_texture(
             scene.textures, mats.metallic_texture[mat_idx], texcoord)[..., 0]
-        coverage = coverage * sample_texture(
+        coverage_tex = sample_texture(
             scene.textures, mats.coverage_texture[mat_idx], texcoord)[..., 0]
+    if coverage_tex is None:
+        coverage_tex = jnp.ones_like(coverage_or_threshold)
+    # Cutout materials binarize the texture sample against the stored value,
+    # which is then a threshold, not a coverage (Types.h:405-413,
+    # Material.h:84-85: coverage and cutout_threshold share storage).
+    is_cutout = (mats.flags[mat_idx] & FLAG_CUTOUT) != 0
+    coverage = jnp.where(
+        is_cutout,
+        jnp.where(coverage_tex < coverage_or_threshold, 0.0, 1.0),
+        coverage_or_threshold * coverage_tex)
     if tint_roughness_scale is not None:
         tint = tint * tint_roughness_scale[..., :3]
         roughness = roughness * tint_roughness_scale[..., 3]
@@ -161,7 +190,7 @@ def _surface_material_params(scene: RenderScene, mat_idx, texcoord,
 
 def _create_shading(materials, mat_idx, cos_theta_o, min_roughness,
                     present=(0, 1, 2), tint=None, roughness=None,
-                    metallic=None):
+                    metallic=None, thin_walled=None):
     """Construct only the shading models the scene uses (``present`` is
     static — absent models cost nothing). Textured params may be passed in
     explicitly (from :func:`_surface_material_params`)."""
@@ -186,7 +215,8 @@ def _create_shading(materials, mat_idx, cos_theta_o, min_roughness,
     transmissive = TransmissiveShading.create(
         tint=tint, roughness=roughness,
         specularity=materials.specularity[mat_idx],
-        cos_theta_o=cos_theta_o) if 2 in present else None
+        cos_theta_o=cos_theta_o,
+        thin_walled=thin_walled) if 2 in present else None
     return _ShadingBundle(default, diffuse, transmissive,
                           materials.shading_model[mat_idx])
 
@@ -241,7 +271,13 @@ def _sample_single_light(scene: RenderScene, bundle, position, wo, shading_norma
     sample it, fold |N·L|/pdf, MIS weight, and the material response into
     the radiance. Returns (direction, distance, weighted_radiance)."""
     n_lights = scene.lights.count
+    use_pool = (settings.use_presampled_environment
+                and scene.environment_presampled is not None)
     has_env = scene.environment is not None
+    if use_pool and scene.environment_presampled.sample_count <= 1:
+        # Pool of one sample: the env had no usable importance — NEE to it
+        # is disabled entirely (PresampledEnvironmentMap.h:64).
+        has_env = False
     total = n_lights + (1 if has_env else 0)
     if total == 0:
         z = jnp.zeros(position.shape[:-1])
@@ -253,8 +289,14 @@ def _sample_single_light(scene: RenderScene, bundle, position, wo, shading_norma
         ls = sample_light(scene.lights, jnp.minimum(pick, n_lights - 1),
                           position, u3[..., :2])
     if has_env:
-        from bifrost3d_tpu.lights.environment import environment_sample
-        es = environment_sample(scene.environment, u3[..., :2])
+        if use_pool:
+            from bifrost3d_tpu.lights.environment import (
+                presampled_environment_sample)
+            es = presampled_environment_sample(
+                scene.environment_presampled, u3[..., 0])
+        else:
+            from bifrost3d_tpu.lights.environment import environment_sample
+            es = environment_sample(scene.environment, u3[..., :2])
         if n_lights > 0:
             is_env = pick == n_lights
             from bifrost3d_tpu.lights.types import LightSample
@@ -304,11 +346,11 @@ def _reestimated_light_samples(scene, bundle, position, wo, shading_normal,
         take = u4[..., 3] < p_new
         direction = jnp.where(take[..., None], new_dir, direction)
         distance = jnp.where(take, new_dist, distance)
-        # Double-where: the unselected branch's denominator is forced to 1 so
-        # its (masked-out) quotient can't produce inf/NaN in the BACKWARD
-        # pass — chained 0/eps terms overflow float32 under autodiff.
-        denom = jnp.where(take, jnp.where(take, p_new, 1.0),
-                          jnp.where(take, 1.0, 1.0 - p_new))
+        # Reservoir update: the kept candidate's radiance is divided by its
+        # selection probability; the denominator is forced to 1 whenever the
+        # reservoir is empty or the probability underflows, so the masked-out
+        # quotient can't produce inf/NaN in the backward pass.
+        denom = jnp.where(take, p_new, 1.0 - p_new)
         denom = jnp.where(any_w & (denom > 1e-20), denom, 1.0)
         radiance = jnp.where(
             any_w[..., None],
@@ -322,20 +364,78 @@ def _reestimated_light_samples(scene, bundle, position, wo, shading_normal,
 # ---------------------------------------------------------------------------
 
 def _intersect_analytic_lights(scene: RenderScene, origin, direction):
-    """Nearest sphere-light hit (the reference's analytic light geometry,
-    LightSources.cu:31-91). Returns (t [r], light_index [r])."""
+    """Nearest analytic light hit — sphere lights AND spot disk lights, so
+    BSDF-sampled rays can hit both with MIS (the reference's light geometry
+    program, LightSources/LightSources.cu:31-91).
+    Returns (t [r], light_index [r])."""
     if scene.lights.count == 0:
         r = origin.shape[0]
         return jnp.full(r, jnp.inf), jnp.full(r, -1, jnp.int32)
-    is_sphere = scene.lights.kind == LIGHT_SPHERE
-    t = _ray_sphere_t(origin[:, None, :], direction[:, None, :],
-                      scene.lights.position[None, :, :],
-                      scene.lights.radius[None, :])
-    t = jnp.where((t > 0) & is_sphere[None, :] & (scene.lights.radius[None, :] > 0),
-                  t, jnp.inf)
+    lights = scene.lights
+    is_sphere = lights.kind == LIGHT_SPHERE
+    is_spot = lights.kind == LIGHT_SPOT
+    pos = lights.position[None, :, :]
+    radius = lights.radius[None, :]
+
+    t_sphere = _ray_sphere_t(origin[:, None, :], direction[:, None, :],
+                             pos, radius)
+
+    # Spot = disk at (position, normal=direction, radius)
+    # (Intersect::ray_disk, LightSources.cu:40-41).
+    ldir = lights.direction[None, :, :]
+    denom = dot(direction[:, None, :], ldir)
+    t_disk = dot(pos - origin[:, None, :], ldir) / jnp.where(
+        jnp.abs(denom) > 1e-9, denom, 1e-9)
+    hit_pt = origin[:, None, :] + direction[:, None, :] * t_disk[..., None]
+    on_disk = jnp.sum(jnp.square(hit_pt - pos), axis=-1) <= radius * radius
+    t_disk = jnp.where(on_disk & (jnp.abs(denom) > 1e-9), t_disk, -1.0)
+
+    t = jnp.where(is_sphere[None, :], t_sphere,
+                  jnp.where(is_spot[None, :], t_disk, -1.0))
+    t = jnp.where((t > 0) & (radius > 0), t, jnp.inf)
     t_min = jnp.min(t, axis=1)
     idx = jnp.argmin(t, axis=1).astype(jnp.int32)
     return t_min, jnp.where(jnp.isfinite(t_min), idx, -1)
+
+
+def _coverage_at_hit(scene: RenderScene, hit):
+    """Coverage of the surface at a Hit (cutout binarization included)."""
+    prim = jnp.maximum(hit.prim, 0)
+    mat_idx = scene.tri_material[prim]
+    bary = jnp.stack([1.0 - hit.u - hit.v, hit.u, hit.v], axis=-1)
+    texcoord = jnp.einsum("rk,rkc->rc", bary, scene.tri_uvs[prim])
+    _, _, _, coverage = _surface_material_params(scene, mat_idx, texcoord)
+    return coverage
+
+
+def _shadow_transmittance(scene: RenderScene, origin, direction, t_max,
+                          eps, steps: int):
+    """Shadow-ray transmittance through semi-transparent surfaces.
+
+    The reference's shadow_any_hit multiplies the shadow throughput by
+    1-coverage at every surface along the segment and terminates when black
+    (MonteCarlo.cu:278-285). Any-hit enumeration doesn't exist in a wavefront
+    tracer, so this marches the closest hit up to ``steps`` times, advancing
+    the origin past each intersection. Surfaces beyond ``steps`` count as
+    fully occluding (conservative).
+    """
+    trans = jnp.ones(origin.shape[0], jnp.float32)
+    t_remaining = t_max
+    for step in range(steps):
+        hit = intersect_scene(scene.bvh, scene.tri_verts, origin, direction,
+                              t_min=eps, t_max=t_remaining,
+                              tri_components=scene.tri_components,
+                              tri_clustered=scene.tri_clustered)
+        blocked = hit.mask & (trans > 0.0)
+        if step == steps - 1:
+            # Budget exhausted: any remaining surface fully occludes.
+            return jnp.where(blocked, 0.0, trans)
+        coverage = _coverage_at_hit(scene, hit)
+        trans = jnp.where(blocked, trans * (1.0 - coverage), trans)
+        advance = jnp.where(hit.mask, hit.t, 0.0) + eps
+        origin = origin + direction * advance[..., None]
+        t_remaining = t_remaining - advance
+    return trans
 
 
 class _PathState(NamedTuple):
@@ -416,7 +516,9 @@ def _wavefront_step(scene: RenderScene, settings: RenderSettings,
         _surface_material_params(scene, mat_idx, texcoord, tr_scale)
 
     flags = scene.materials.flags[mat_idx]
-    thin_walled = (flags & FLAG_THIN_WALLED) != 0
+    # Cutouts are implicitly thin-walled (Types.h:384: is_thin_walled()
+    # tests Cutout | ThinWalled).
+    thin_walled = (flags & (FLAG_THIN_WALLED | FLAG_CUTOUT)) != 0
     transmissive_model = scene.materials.shading_model[mat_idx] == SHADING_TRANSMISSIVE
 
     hit_from_front = dot(geo_normal, direction) < 0.0
@@ -459,7 +561,7 @@ def _wavefront_step(scene: RenderScene, settings: RenderSettings,
     bundle = _create_shading(scene.materials, mat_idx, cos_theta_o,
                              min_roughness, settings.shading_models_present,
                              tint=tex_tint, roughness=tex_roughness,
-                             metallic=tex_metallic)
+                             metallic=tex_metallic, thin_walled=thin_walled)
 
     # Surface emission.
     emission = scene.materials.emission[mat_idx]
@@ -474,14 +576,22 @@ def _wavefront_step(scene: RenderScene, settings: RenderSettings,
     shadow_origin = position + geo_normal * jnp.where(
         dot(l_dir, geo_normal) >= 0, eps, -eps)[..., None] * 16.0
     has_light = shade & (jnp.max(l_radiance, axis=-1) > 0.0)
-    occluded = jax.lax.stop_gradient(intersect_scene_any(
-        scene.bvh, scene.tri_verts,
-        jax.lax.stop_gradient(shadow_origin), jax.lax.stop_gradient(l_dir),
-        t_min=eps, t_max=jax.lax.stop_gradient(l_dist) * (1.0 - 1e-4),
-        tri_components=scene.tri_components,
-                      tri_clustered=scene.tri_clustered))
+    if settings.coverage_aware_shadows:
+        shadow_trans = jax.lax.stop_gradient(_shadow_transmittance(
+            scene, jax.lax.stop_gradient(shadow_origin),
+            jax.lax.stop_gradient(l_dir),
+            jax.lax.stop_gradient(l_dist) * (1.0 - 1e-4), eps,
+            settings.shadow_coverage_steps))
+    else:
+        occluded = jax.lax.stop_gradient(intersect_scene_any(
+            scene.bvh, scene.tri_verts,
+            jax.lax.stop_gradient(shadow_origin), jax.lax.stop_gradient(l_dir),
+            t_min=eps, t_max=jax.lax.stop_gradient(l_dist) * (1.0 - 1e-4),
+            tri_components=scene.tri_components,
+            tri_clustered=scene.tri_clustered))
+        shadow_trans = jnp.where(occluded, 0.0, 1.0)
     radiance = radiance + jnp.where(
-        (has_light & ~occluded)[..., None], l_radiance, 0.0)
+        has_light[..., None], l_radiance * shadow_trans[..., None], 0.0)
     nee_valid = jnp.sum(l_radiance, axis=-1) > 0.0
 
     # --- BSDF sampling ---
@@ -496,9 +606,10 @@ def _wavefront_step(scene: RenderScene, settings: RenderSettings,
         wrong_side[..., None], reflect(new_dir_world, geo_normal), new_dir_world)
 
     valid_sample = s.pdf > 0.0
-    weight = jnp.where(
-        s.is_delta, 1.0 / jnp.maximum(s.pdf, 1e-12),
-        jnp.abs(s.direction[..., 2]) / jnp.maximum(s.pdf, 1e-12))
+    # f·|cos|/pdf for ALL lobes — delta reflectances fold 1/|cos| by
+    # convention (r_sample), so this reduces to F/lobe_probability for
+    # mirrors, exactly as the reference (MonteCarlo.cu:204-228).
+    weight = jnp.abs(s.direction[..., 2]) / jnp.maximum(s.pdf, 1e-12)
     new_throughput = throughput * s.reflectance * weight[..., None]
     new_throughput = jnp.where(valid_sample[..., None], new_throughput, 0.0)
 
@@ -569,6 +680,109 @@ def render_sample_pixels(scene: RenderScene, camera: PinholeCamera,
     step = partial(_wavefront_step, scene, settings, accumulation)
     state = jax.lax.fori_loop(0, n_iters, lambda i, s: step(s), state)
     return state.radiance.reshape(shape + (3,))
+
+
+# ---------------------------------------------------------------------------
+# Pooled wavefront with compaction + ray regeneration (SURVEY.md §7.3 #5)
+# ---------------------------------------------------------------------------
+
+def _make_camera_lanes(camera: PinholeCamera, pixel_idx, width: int,
+                       height: int, accumulation) -> _PathState:
+    """Fresh camera-ray lanes for flat pixel indices ([r] int32; >= w·h
+    means an idle lane)."""
+    n_pixels = width * height
+    valid = pixel_idx < n_pixels
+    safe_idx = jnp.minimum(pixel_idx, n_pixels - 1)
+    x = (safe_idx % width).astype(jnp.uint32)
+    y = (safe_idx // width).astype(jnp.uint32)
+    pixel_hash, _ = pcg2d(x, y)
+    u_cam = path_rng_4d(accumulation, pixel_hash, jnp.uint32(Dimension.CAMERA))
+    jitter = jnp.where(accumulation == 0, 0.5, u_cam[..., :2])
+    xf = (x.astype(jnp.float32) + jitter[..., 0]) / width
+    yf = 1.0 - (y.astype(jnp.float32) + jitter[..., 1]) / height
+    origin, direction = camera_ray_directions(
+        camera, jnp.stack([xf, yf], axis=-1))
+    r = pixel_idx.shape[0]
+    return _PathState(
+        origin=origin,
+        direction=direction,
+        throughput=jnp.ones((r, 3), jnp.float32),
+        radiance=jnp.zeros((r, 3), jnp.float32),
+        bsdf_pdf=jnp.zeros(r, jnp.float32),
+        bsdf_was_delta=jnp.ones(r, bool),
+        pixel_hash=pixel_hash,
+        bounce=jnp.zeros(r, jnp.uint32),
+        active=valid & jnp.isfinite(origin[..., 0]))
+
+
+@partial(jax.jit, static_argnames=("width", "height", "settings", "pool_size"))
+def render_sample_pooled(scene: RenderScene, camera: PinholeCamera,
+                         width: int, height: int, accumulation,
+                         settings: RenderSettings = RenderSettings(),
+                         pool_size: int = 65536):
+    """One progressive frame through a fixed-capacity ray pool.
+
+    The TPU answer to dead-lane waste in the fixed-iteration wavefront
+    (the reference's megakernel keeps one thread per pixel for the whole
+    path, SimpleRGPs.cu:131-140): a pool of ``pool_size`` lanes runs the
+    wavefront step; finished lanes scatter-add their radiance into the
+    frame and are immediately REFILLED with fresh camera rays from the
+    remaining pixel queue, so every trace call runs at ~full occupancy
+    regardless of path-length variance. Forward-only (dynamic while_loop);
+    the differentiable path stays :func:`render_sample`.
+    """
+    accumulation = jnp.asarray(accumulation, jnp.uint32)
+    n_pixels = width * height
+    r = min(pool_size, n_pixels)
+
+    pixel_idx0 = jnp.arange(r, dtype=jnp.int32)
+    state0 = _make_camera_lanes(camera, pixel_idx0, width, height,
+                                accumulation)
+    accum0 = jnp.zeros((n_pixels, 3), jnp.float32)
+    step = partial(_wavefront_step, scene, settings, accumulation)
+
+    # Safety bound: generous multiple of the expected iteration count
+    # (per-wave bounces × number of pool refills) so a pathological
+    # passthrough chain can't hang the loop.
+    max_iters = (n_pixels // r + 1) * (settings.max_bounce_count + 3) * 4 + 64
+
+    def cond(carry):
+        state, pixel_idx, accum, next_pixel, it = carry
+        return (jnp.any(state.active) | (next_pixel < n_pixels)) \
+            & (it < max_iters)
+
+    def body(carry):
+        state, pixel_idx, accum, next_pixel, it = carry
+        state = step(state)
+        valid = pixel_idx < n_pixels
+        done = valid & ~state.active
+
+        # Scatter finished lanes into the frame (each pixel exactly once
+        # per accumulation pass → plain add).
+        accum = accum.at[jnp.minimum(pixel_idx, n_pixels - 1)].add(
+            jnp.where(done[..., None], state.radiance, 0.0))
+
+        # Regenerate: hand each finished lane the next unstarted pixel.
+        slot = jnp.cumsum(done.astype(jnp.int32)) - 1
+        new_idx = next_pixel + slot
+        refill = done & (new_idx < n_pixels)
+        pixel_idx = jnp.where(refill, new_idx,
+                              jnp.where(done, n_pixels, pixel_idx))
+        next_pixel = jnp.minimum(
+            next_pixel + jnp.sum(done.astype(jnp.int32)), n_pixels)
+
+        fresh = _make_camera_lanes(camera, pixel_idx, width, height,
+                                   accumulation)
+        state = _PathState(*(
+            jnp.where(refill.reshape(refill.shape + (1,) * (f.ndim - 1)),
+                      f, s)
+            for f, s in zip(fresh, state)))
+        return state, pixel_idx, accum, next_pixel, it + 1
+
+    _, _, accum, _, _ = jax.lax.while_loop(
+        cond, body,
+        (state0, pixel_idx0, accum0, jnp.int32(r), jnp.int32(0)))
+    return accum.reshape(height, width, 3)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "settings"))

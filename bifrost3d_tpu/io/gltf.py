@@ -10,9 +10,10 @@ Counterpart of the reference's glTFLoader (``glTFLoader.cpp``, SURVEY.md
   threshold (glTFLoader.cpp:469-475), ``KHR_materials_clearcoat`` → coat.
 - animations / cameras / skins / punctual lights ignored with warnings
   (glTFLoader.cpp:531-535, 697-699).
-- texture *references* are surfaced as file paths / image indices so the
-  caller can do the (tint,roughness)/(metallic)-repacking when texturing
-  lands in the integrator (glTFLoader.cpp:106-133).
+- image channel re-packing: glTF's (baseColor+coverage) + (metallic,
+  roughness) textures are repacked into Bifrost's (tint, roughness) +
+  metallic + coverage layout with caching — see ``_repack_textures``
+  (glTFLoader.cpp:106-133, 174+).
 """
 
 from __future__ import annotations

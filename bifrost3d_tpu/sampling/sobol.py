@@ -90,19 +90,25 @@ def _sobol_4d_uint(index):
     return res
 
 
-def sobol_sample_4d(index, seed):
-    """Owen-scrambled 4D Sobol sample → float [..., 4] in [0, 1).
+def sobol_sample_4d_uint(index, seed):
+    """Owen-scrambled 4D Sobol sample → uint32 [..., 4].
 
     Index is Owen-shuffled by ``seed``, then each output dimension is
-    Owen-scrambled with a distinct derived seed — exactly the reference's
-    ``PracticalScrambledSobol::sample4ui``.
+    Owen-scrambled with a distinct derived seed — bit-exact with the
+    reference's ``PracticalScrambledSobol::sample4ui`` (RNG.h:238-293,
+    verified by tests/test_sampling.py golden vectors).
     """
     index = _nested_uniform_scramble(jnp.asarray(index).astype(jnp.uint32), seed)
     xs = _sobol_4d_uint(index)
     scrambled = [
         _nested_uniform_scramble(xs[..., d], _hash_combine(seed, d)) for d in range(4)
     ]
-    return uint_to_unit_float(jnp.stack(scrambled, axis=-1))
+    return jnp.stack(scrambled, axis=-1)
+
+
+def sobol_sample_4d(index, seed):
+    """Owen-scrambled 4D Sobol sample → float [..., 4] in [0, 1)."""
+    return uint_to_unit_float(sobol_sample_4d_uint(index, seed))
 
 
 def path_rng_4d(accumulation_count, pixel_hash, dimension):

@@ -46,13 +46,19 @@ class RenderScene(NamedTuple):
     tri_components: Optional[jnp.ndarray] = None  # [16, T_pad]
     # Cluster-culled packing for large scenes (geometry/pallas_clustered.py).
     tri_clustered: Optional[object] = None
+    # Presampled environment pool — the reference's DEFAULT env NEE path
+    # (Defines.h:15, PresampledEnvironmentMap.cpp:19-101). Built when
+    # ``presample_environment`` > 0; the integrator indexes the pool instead
+    # of CDF-searching when RenderSettings.use_presampled_environment is set.
+    environment_presampled: Optional[object] = None
 
 
 def build_render_scene(instances, materials: MaterialArray,
                        lights: Optional[LightArray] = None,
                        environment_map=None,
                        environment_tint=(0.0, 0.0, 0.0),
-                       textures: Optional[TextureBank] = None) -> RenderScene:
+                       textures: Optional[TextureBank] = None,
+                       presample_environment: int = 0) -> RenderScene:
     """instances: list of (TriangleMesh, material_index) or
     (TriangleMesh, material_index, matrix3x4)."""
     from bifrost3d_tpu.geometry.mesh import transform_mesh
@@ -93,8 +99,13 @@ def build_render_scene(instances, materials: MaterialArray,
         lights = LightArray.build([])
 
     env = None
+    env_pool = None
     if environment_map is not None:
         env = build_environment_light(environment_map, tint=(1.0, 1.0, 1.0))
+        if presample_environment:
+            from bifrost3d_tpu.lights.environment import presample_environment \
+                as _presample
+            env_pool = _presample(env, presample_environment)
 
     extent = float(np.max(flat_pos.max(axis=0) - flat_pos.min(axis=0))) \
         if flat_pos.size else 1.0
@@ -114,6 +125,7 @@ def build_render_scene(instances, materials: MaterialArray,
         scene_epsilon=jnp.asarray(max(extent, 1e-3) * 1e-4, jnp.float32),
         tri_components=_packed_components(tri_verts),
         tri_clustered=_packed_clusters(tri_verts, bvh),
+        environment_presampled=env_pool,
     )
 
 
