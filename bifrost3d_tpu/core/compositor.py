@@ -96,6 +96,13 @@ class Compositor:
             # scene and restart progressive accumulation.
             self._scene = scene
             self._backends.clear()
+        elif self.data.cameras.changes.any_changes:
+            # Camera-only change (move/resize/projection): rebuild just the
+            # touched cameras' backends so their accumulation restarts
+            # without a device-scene rebuild.
+            for uid in self.data.cameras.changes.get_changed_resources():
+                for key in [k for k in self._backends if k[0] == int(uid)]:
+                    del self._backends[key]
 
         cameras = self.data.cameras
         frames = {}

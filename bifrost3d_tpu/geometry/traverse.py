@@ -18,11 +18,12 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from bifrost3d_tpu.geometry.bvh import BVH, MAX_LEAF_SIZE
 
 STACK_SIZE = 64
-_BIG = jnp.float32(3.4e38)
+_BIG = np.float32(3.4e38)
 
 
 class Hit(NamedTuple):

@@ -116,7 +116,7 @@ def _reverse_halton_offsets(count: int = 8) -> np.ndarray:
     return out
 
 
-_RIS_OFFSETS = jnp.asarray(_reverse_halton_offsets(8))
+_RIS_OFFSETS = np.asarray(_reverse_halton_offsets(8))
 
 
 def mis_weight(pdf1, pdf2):

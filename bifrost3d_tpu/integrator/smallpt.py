@@ -89,7 +89,11 @@ def _bounce(scene: SphereScene, state, depth):
     live = active & hit
     radiance = radiance + jnp.where(live[..., None], throughput * emission, 0.0)
 
-    pos = origin + direction * t[..., None]
+    # Miss lanes carry t = inf; 0*inf would poison forward values and the
+    # backward pass w.r.t. sphere positions (geometry gradients), so pin
+    # dead lanes to their origins.
+    t_safe = jnp.where(hit, t, 0.0)
+    pos = origin + direction * t_safe[..., None]
     norm = normalize(pos - scene.position[idx])
     n_dot_d = dot(norm, direction)
     nl = jnp.where(n_dot_d[..., None] < 0.0, norm, -norm)
@@ -125,10 +129,15 @@ def _bounce(scene: SphereScene, state, depth):
     ddn = dot(direction, nl)
     cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
     tir = cos2t < 0.0
+    # Double-where sqrt: TIR lanes (cos2t < 0) must not emit NaN
+    # cotangents into ddn when differentiating w.r.t. geometry.
+    cos2t_ok = cos2t > 0.0
+    sqrt_cos2t = jnp.where(
+        cos2t_ok, jnp.sqrt(jnp.where(cos2t_ok, cos2t, 1.0)), 0.0)
     tdir = normalize(
         direction * nnt[..., None]
         - norm * (jnp.where(into, 1.0, -1.0)
-                  * (ddn * nnt + jnp.sqrt(jnp.maximum(cos2t, 0.0))))[..., None])
+                  * (ddn * nnt + sqrt_cos2t))[..., None])
     r0 = ((nt - nc) / (nt + nc)) ** 2
     c = 1.0 - jnp.where(into, -ddn, dot(tdir, norm))
     re = r0 + (1.0 - r0) * c ** 5

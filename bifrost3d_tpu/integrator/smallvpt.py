@@ -21,6 +21,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from bifrost3d_tpu.integrator.smallpt import (
     EPS,
@@ -35,10 +36,10 @@ from bifrost3d_tpu.sampling.distributions import henyey_greenstein_sample
 from bifrost3d_tpu.sampling.hashes import jenkins_hash, lcg_next, reverse_bits
 from bifrost3d_tpu.scene.spheres import SphereScene, intersect_spheres, smallpt_scene
 
-MEDIUM_CENTER = jnp.asarray([50.0, 50.0, 80.0], jnp.float32)
+MEDIUM_CENTER = np.asarray([50.0, 50.0, 80.0], np.float32)
 MEDIUM_RADIUS = 300.0
 SIGMA_T = 0.01
-MEDIUM_ALBEDO = jnp.asarray([0.9, 0.6, 0.3], jnp.float32)
+MEDIUM_ALBEDO = np.asarray([0.9, 0.6, 0.3], np.float32)
 HG_G = -0.5
 MAX_INTERACTIONS = 32
 

@@ -8,10 +8,11 @@ uint8 arrays; conversion helpers live in :mod:`bifrost3d_tpu.io.image`.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 # Rec.709 / sRGB luminance weights, as used by the reference's
 # Math/Color.h luminance().
-_LUMA = jnp.asarray([0.2126, 0.7152, 0.0722], dtype=jnp.float32)
+_LUMA = np.asarray([0.2126, 0.7152, 0.0722], dtype=np.float32)
 
 
 def luminance(rgb):

@@ -19,3 +19,12 @@ from bifrost3d_tpu.parallel.render import (
     make_sharded_render,
     make_sharded_train_step,
 )
+from bifrost3d_tpu.parallel.distributed import (
+    initialize as initialize_distributed,
+    global_render_mesh,
+    make_multihost_smallpt,
+    make_multihost_render,
+    make_global_rows,
+    gather_rows,
+    shard_rows_local,
+)

@@ -11,6 +11,7 @@ Branch-free jnp throughout — every branch of the reference becomes a
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from bifrost3d_tpu.math.vec import lerp, normalize, reflect
 
@@ -25,9 +26,9 @@ def _gclip(x, lo, hi):
     return jnp.clip(x, jnp.maximum(lo, 1e-12), hi)
 
 
-PI = jnp.float32(jnp.pi)
-TWO_PI = jnp.float32(2.0 * jnp.pi)
-INV_PI = jnp.float32(1.0 / jnp.pi)
+PI = np.float32(np.pi)
+TWO_PI = np.float32(2.0 * np.pi)
+INV_PI = np.float32(1.0 / np.pi)
 
 
 # ---------------------------------------------------------------------------

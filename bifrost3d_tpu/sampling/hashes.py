@@ -10,11 +10,12 @@ All functions are elementwise over uint32 jnp arrays (VPU-friendly).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-UINT_NORMALIZER = jnp.float32(1.0 / 4294967296.0)  # 2^-32
+UINT_NORMALIZER = np.float32(1.0 / 4294967296.0)  # 2^-32
 
-_LCG_MULTIPLIER = jnp.uint32(1664525)
-_LCG_INCREMENT = jnp.uint32(1013904223)
+_LCG_MULTIPLIER = np.uint32(1664525)
+_LCG_INCREMENT = np.uint32(1013904223)
 
 
 def _u32(x):

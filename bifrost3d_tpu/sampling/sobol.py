@@ -63,7 +63,7 @@ def _sobol_direction_numbers() -> np.ndarray:
     return v.astype(np.uint32)
 
 
-_DIRECTIONS = jnp.asarray(_sobol_direction_numbers())  # [4, 32] uint32
+_DIRECTIONS = _sobol_direction_numbers()  # [4, 32] uint32 (numpy: no backend init at import)
 
 
 def _nested_uniform_scramble(x, seed):

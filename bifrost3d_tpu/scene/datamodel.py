@@ -367,6 +367,15 @@ class SceneData:
     def any_changes(self) -> bool:
         return any(m.changes.any_changes for m in self.all_managers())
 
+    @property
+    def scene_changes(self) -> bool:
+        """Changes that invalidate the device scene (everything except
+        cameras — a camera move only restarts that camera's accumulation,
+        it must not pay a BVH/material rebuild)."""
+        return any(m.changes.any_changes for m in
+                   (self.nodes, self.roots, self.meshes, self.materials,
+                    self.models, self.lights))
+
 
 def _transform_to_matrix(t: Transform) -> np.ndarray:
     rot = np.asarray(quat_to_matrix(t.rotation), np.float32)
@@ -386,10 +395,11 @@ class SceneSync:
         self.accumulations = 0
 
     def handle_updates(self) -> RenderScene:
-        if self._render_scene is None or self.data.any_changes:
+        if self._render_scene is None or self.data.scene_changes:
             self._render_scene = self._build()
             # Any visible change restarts progressive accumulation
-            # (Renderer.cpp:1202-1204).
+            # (Renderer.cpp:1202-1204). Camera-only changes are handled by
+            # the Compositor (per-camera backend reset), not a rebuild.
             self.accumulations = 0
         return self._render_scene
 

@@ -33,11 +33,18 @@ WATER_IOR = 1.33
 GLASS_IOR = 1.52
 DIAMOND_IOR = 2.42
 
+def _specularity(ior_o, ior_i):
+    # Plain-float mirror of bsdf.fresnel.dielectric_specularity: module-level
+    # constants must not touch jnp, or importing the package would initialize
+    # the XLA backend and break jax.distributed.initialize (multi-host).
+    return ((ior_o - ior_i) / (ior_o + ior_i)) ** 2
+
+
 DEFAULT_SPECULARITY = 0.04
-ICE_SPECULARITY = float(dielectric_specularity(AIR_IOR, ICE_IOR))
-WATER_SPECULARITY = float(dielectric_specularity(AIR_IOR, WATER_IOR))
-GLASS_SPECULARITY = float(dielectric_specularity(AIR_IOR, GLASS_IOR))
-DIAMOND_SPECULARITY = float(dielectric_specularity(AIR_IOR, DIAMOND_IOR))
+ICE_SPECULARITY = _specularity(AIR_IOR, ICE_IOR)
+WATER_SPECULARITY = _specularity(AIR_IOR, WATER_IOR)
+GLASS_SPECULARITY = _specularity(AIR_IOR, GLASS_IOR)
+DIAMOND_SPECULARITY = _specularity(AIR_IOR, DIAMOND_IOR)
 
 # Metal tints (Material.h:62-72, UE4 physically-based materials reference).
 IRON_TINT = (0.560, 0.570, 0.580)

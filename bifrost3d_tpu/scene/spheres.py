@@ -98,9 +98,17 @@ def intersect_spheres(scene: SphereScene, origin, direction, eps=1e-2):
     b = jnp.sum(op * direction[..., None, :], axis=-1)  # [..., n]
     # Stable determinant: d_perp = |op - b*d|, det = (r - d_perp)(r + d_perp).
     perp = op - b[..., None] * direction[..., None, :]
-    d_perp = jnp.sqrt(jnp.maximum(jnp.sum(perp * perp, axis=-1), 0.0))
+    # Double-where sqrt hygiene: sqrt'(0) = inf would multiply the zero
+    # cotangent of masked lanes into NaN when differentiating w.r.t.
+    # sphere positions (geometry gradients, SURVEY §7.2 step 7).
+    perp2 = jnp.sum(perp * perp, axis=-1)
+    perp_ok = perp2 > 1e-12
+    d_perp = jnp.where(
+        perp_ok, jnp.sqrt(jnp.where(perp_ok, perp2, 1.0)), 0.0)
     det = (scene.radius - d_perp) * (scene.radius + d_perp)
-    sqrt_det = jnp.sqrt(jnp.maximum(det, 0.0))
+    det_ok = det > 0.0
+    sqrt_det = jnp.where(
+        det_ok, jnp.sqrt(jnp.where(det_ok, det, 1.0)), 0.0)
     t_near = b - sqrt_det
     t_far = b + sqrt_det
     t = jnp.where(t_near > eps, t_near, jnp.where(t_far > eps, t_far, jnp.inf))

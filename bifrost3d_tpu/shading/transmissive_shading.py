@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from bifrost3d_tpu.bsdf import ggx
 from bifrost3d_tpu.bsdf.fresnel import dielectric_ior_from_specularity
@@ -28,7 +29,7 @@ from bifrost3d_tpu.shading.fittings import (
 from bifrost3d_tpu.shading.thin_sheet import approx_thin_sheet_reflectance
 
 _MIN_COS = 1e-6
-_FLIP = jnp.asarray([1.0, 1.0, -1.0])
+_FLIP = np.asarray([1.0, 1.0, -1.0], np.float32)
 
 
 class TransmissiveShading(NamedTuple):

@@ -84,6 +84,49 @@ class TestGradients:
         assert float(g) > 0
 
 
+class TestGeometryGradients:
+    """First slice of geometry gradients (SURVEY §7.2 step 7, VERDICT r1
+    missing #7): positions of analytic entities — the sphere LIGHT in the
+    flagship integrator and a scene sphere in SmallPT. Both flow through
+    reparameterized analytic intersection/sampling (the sampled direction
+    and hit point are differentiable functions of the entity's position),
+    with occlusion and mesh-hit queries detached. Same-RNG evaluations
+    make central differences low-noise; silhouette (boundary) terms are
+    not estimated, so FD agreement is checked away from them."""
+
+    def test_light_position_gradient_matches_fd(self, camera):
+        scene = make_scene()
+
+        def mean_image(dy):
+            lights = scene.lights._replace(
+                position=scene.lights.position.at[0, 1].add(dy))
+            s = scene._replace(lights=lights)
+            return jnp.mean(render_sample(s, camera, W, H, 0, SETTINGS))
+
+        g = float(jax.grad(mean_image)(0.0))
+        eps = 1e-2
+        fd = (float(mean_image(eps)) - float(mean_image(-eps))) / (2 * eps)
+        assert abs(g) > 1e-6, "light position gradient should be nonzero"
+        np.testing.assert_allclose(g, fd, rtol=0.1)
+
+    def test_smallpt_gradients_are_finite(self):
+        """The SmallPT estimator's pathwise position gradient is finite
+        (no masked-lane NaN leaks through miss-lane inf t or TIR sqrt).
+        Note it is NOT expected to match FD — smallpt's throughput has no
+        continuous position dependence (no NEE, per-sphere constant
+        colors), so the true derivative is all boundary term; see
+        test_edge_grad.py for the edge-sampled estimator that matches FD.
+        """
+        from bifrost3d_tpu.integrator.smallpt import (
+            render_smallpt_accumulation)
+        from bifrost3d_tpu.scene import smallpt_scene
+
+        scene = smallpt_scene()
+        g = jax.grad(lambda p: jnp.mean(render_smallpt_accumulation(
+            scene._replace(position=p), 16, 12, 1)))(scene.position)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
 class TestInverseRendering:
     def test_recover_tint(self, camera):
         """Optimize a wrong tint toward a target render (BASELINE config 5)."""
