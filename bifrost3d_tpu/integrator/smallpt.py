@@ -169,6 +169,25 @@ def _bounce(scene: SphereScene, state, depth):
     return (new_origin, new_dir, throughput, radiance, rng, live)
 
 
+def smallpt_camera_ray(u, v, width: int, height: int):
+    """Continuous-image-coordinate camera ray (smallpt.h:122-141).
+
+    ``u``/``v`` in [0, 1) (u right, v up, any broadcastable shape) →
+    (origin [..., 3], unit direction [..., 3]). All rays pass through the
+    camera pinhole; origins sit 140 unnormalized-direction units down the
+    ray like the reference. Differentiable in (u, v) — the edge-sampling
+    geometry gradients (diff/edge_grad.py) exploit this.
+    """
+    cam_o = jnp.asarray(SMALLPT_CAM_ORIGIN, jnp.float32)
+    cam_d = normalize(jnp.asarray(SMALLPT_CAM_DIRECTION, jnp.float32))
+    cx = jnp.asarray([width * 0.5135 / height, 0.0, 0.0], jnp.float32)
+    cy = normalize(cross(cx, cam_d)) * 0.5135
+    u = jnp.asarray(u, jnp.float32)
+    v = jnp.asarray(v, jnp.float32)
+    d = (cx * (u - 0.5)[..., None] + cy * (v - 0.5)[..., None] + cam_d)
+    return cam_o + d * 140.0, normalize(d)
+
+
 def render_smallpt_pixels(scene: SphereScene, x, y, width: int, height: int,
                           accumulation) -> jnp.ndarray:
     """Render one progressive sample for pixel coords ``x``/``y`` (uint32,
@@ -179,10 +198,6 @@ def render_smallpt_pixels(scene: SphereScene, x, y, width: int, height: int,
     (SURVEY.md §2.8 ray/tile data parallelism).
     """
     accumulation = jnp.asarray(accumulation, jnp.uint32)
-    cam_o = jnp.asarray(SMALLPT_CAM_ORIGIN, jnp.float32)
-    cam_d = normalize(jnp.asarray(SMALLPT_CAM_DIRECTION, jnp.float32))
-    cx = jnp.asarray([width * 0.5135 / height, 0.0, 0.0], jnp.float32)
-    cy = normalize(cross(cx, cam_d)) * 0.5135
 
     sx = accumulation % 2
     sy = (accumulation >> jnp.uint32(1)) % 2
@@ -197,11 +212,10 @@ def render_smallpt_pixels(scene: SphereScene, x, y, width: int, height: int,
     yf = y.astype(jnp.float32)
     sxf = sx.astype(jnp.float32)
     syf = sy.astype(jnp.float32)
-    d = (cx * (((sxf + 0.5 + dx) / 2.0 + xf) / width - 0.5)[..., None]
-         + cy * (((syf + 0.5 + dy) / 2.0 + yf) / height - 0.5)[..., None]
-         + cam_d)
-    origin = cam_o + d * 140.0
-    direction = normalize(d)
+    u = (((sxf + 0.5 + dx) / 2.0 + xf) / width
+         + 0.0)  # continuous image coordinate in [0, 1)
+    v = ((syf + 0.5 + dy) / 2.0 + yf) / height
+    origin, direction = smallpt_camera_ray(u, v, width, height)
 
     # Derive the initial carry from the (possibly mesh-varying) inputs so
     # the fori_loop carry type is stable under shard_map.
