@@ -147,7 +147,7 @@ def bench_torus_grid():
     rng = np.random.default_rng(0)
     for i in range(8):
         for j in range(8):
-            m = make_torus(major_segments=48, minor_segments=24)
+            m = make_torus(major_segments=96, minor_segments=48)
             M = np.asarray([[1, 0, 0, i * 3 - 12],
                             [0, 1, 0, rng.uniform(-1, 1)],
                             [0, 0, 1, j * 3 - 12]], np.float32)

@@ -146,17 +146,24 @@ class CameraNavigation:
 
         t = self.data.cameras.get_transform(self.camera)
         move = np.zeros(3, np.float32)
-        if keyboard.is_pressed("w"):
+
+        def active(key):
+            # Held keys (is_pressed) and tap-release within one tick
+            # (was_pressed) both move — scripted/terminal input arrives as
+            # taps, a real key-repeat stream as held state.
+            return keyboard.is_pressed(key) or keyboard.was_pressed(key)
+
+        if active("w"):
             move[2] += 1.0
-        if keyboard.is_pressed("s"):
+        if active("s"):
             move[2] -= 1.0
-        if keyboard.is_pressed("d"):
+        if active("d"):
             move[0] += 1.0
-        if keyboard.is_pressed("a"):
+        if active("a"):
             move[0] -= 1.0
-        if keyboard.is_pressed("e"):
+        if active("e"):
             move[1] += 1.0
-        if keyboard.is_pressed("q"):
+        if active("q"):
             move[1] -= 1.0
         yaw = (keyboard.halftaps("right") - keyboard.halftaps("left"))
         pitch = (keyboard.halftaps("down") - keyboard.halftaps("up"))
@@ -264,7 +271,8 @@ def run(scene_name="Sphere", width=96, height=54, ticks=None,
     scripted = list(scripted_keys)
     state = {"frames": {}, "quit_at": ticks}
 
-    def on_input(engine, dt):
+    def on_input(engine):
+        dt = engine.time.delta
         keys = list(term_input.poll()) if term_input else []
         if scripted:
             keys.append(scripted.pop(0))
@@ -283,7 +291,7 @@ def run(scene_name="Sphere", width=96, height=54, ticks=None,
                 keyboard.release(k)
         nav.handle(keyboard, max(dt, 1e-3))
 
-    def on_render(engine, dt):
+    def on_render(engine):
         t0 = time.perf_counter()
         state["frames"] = comp.render()
         frame = state["frames"].get(int(cam))
@@ -292,11 +300,12 @@ def run(scene_name="Sphere", width=96, height=54, ticks=None,
         fps_window.append(time.perf_counter() - t0)
         del fps_window[:-8]  # 8-frame moving average (main.cpp:72-88)
         fps = len(fps_window) / max(sum(fps_window), 1e-6)
-        shot = data.cameras.resolve_screenshot(cam)
-        if shot is not None and screenshot_path:
-            from bifrost3d_tpu.io.image import save_image
-            save_image(screenshot_path, np.asarray(shot.image),
-                       from_linear=True)
+        for shot in data.cameras.resolve_screenshot(cam):
+            if screenshot_path:
+                from bifrost3d_tpu.io.image import save_image
+                # LDR screenshots are already tonemapped/encoded-ready.
+                save_image(screenshot_path, np.asarray(shot["image"]),
+                           from_linear=shot["content"] == "hdr")
         backend = comp._backends.get(
             (int(cam), data.cameras.get_renderer(cam)))
         accum = getattr(backend, "accumulations", 0)
@@ -306,7 +315,7 @@ def run(scene_name="Sphere", width=96, height=54, ticks=None,
         term.present(frame, window.name
                      + " | WASD move, arrows turn, P toggle, X shot, Q quit")
 
-    def on_cleanup(engine, dt):
+    def on_cleanup(engine):
         data.reset_change_notifications()
         keyboard.per_frame_reset()
         mouse.per_frame_reset()

@@ -33,15 +33,25 @@ def _light_contribution(scene, position, normal, wo, tint, roughness,
     lights = scene.lights
     for li in range(lights.count):
         is_directional = lights.kind[li] == LIGHT_DIRECTIONAL
+        is_spot = lights.kind[li] == LIGHT_SPOT
         to_light = lights.position[li] - position
         d2 = jnp.sum(jnp.square(to_light), axis=-1)
         dist_pt = jnp.sqrt(d2)
         dir_pt = to_light / jnp.maximum(dist_pt, 1e-6)[..., None]
-        # Sphere/spot as a point source with its total power (preview
-        # fidelity); directional carries radiance directly.
+        # Sphere as a point source with its total power (preview fidelity);
+        # spot concentrates its power into the cone with a hard cutoff
+        # (LightSources.hlsl:28-155 cone falloff); directional carries
+        # radiance directly.
         rad_pt = lights.power[li] / (4.0 * jnp.pi * jnp.maximum(d2, 1e-6))[..., None]
+        cos_to_axis = dot(lights.direction[li], -dir_pt)
+        spot_norm = 2.0 * jnp.pi * jnp.maximum(1.0 - lights.cos_angle[li], 1e-6)
+        rad_spot = jnp.where(
+            (cos_to_axis > lights.cos_angle[li])[..., None],
+            lights.power[li] / (spot_norm * jnp.maximum(d2, 1e-6))[..., None],
+            0.0)
         l_dir = jnp.where(is_directional, -lights.direction[li], dir_pt)
-        radiance = jnp.where(is_directional, lights.power[li], rad_pt)
+        radiance = jnp.where(is_directional, lights.power[li],
+                             jnp.where(is_spot, rad_spot, rad_pt))
         dist = jnp.where(is_directional, 1e30, dist_pt)
         n_dot_l = jnp.maximum(dot(normal, l_dir), 0.0)
         # Hard shadow ray.

