@@ -24,3 +24,20 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: the flagship render + post chain cost
+# 30-90 s of compile on the tunneled TPU; caching makes every CLI relaunch
+# (viewer, bench, tests-on-TPU) start warm. Opt out: BIFROST_NO_COMPILE_CACHE.
+import os as _os
+
+if not _os.environ.get("BIFROST_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "bifrost3d_jax"))
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # older jax without the knobs — run uncached
+        pass

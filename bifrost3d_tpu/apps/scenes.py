@@ -34,6 +34,7 @@ from bifrost3d_tpu.scene.materials import (
     transmissive,
 )
 from bifrost3d_tpu.scene.render_scene import build_render_scene
+from bifrost3d_tpu.utils.hostbuild import host_build
 
 F32 = np.float32
 
@@ -55,6 +56,7 @@ PI = float(np.pi)
 HALF_PI = PI / 2
 
 
+@host_build
 def create_cornell_box(environment_map=None):
     """CornellBox.h:23-120: red/green/white thin-walled 1-unit room, iron
     small box, copper tall box, sphere light (power 2, r 0.05) at ceiling."""
@@ -113,6 +115,7 @@ def _load_shader_ball_meshes():
     return by_name["Node5"], by_name["Node2"]
 
 
+@host_build
 def create_material_scene(environment_map=None):
     """Material.cpp create_material_scene: seven Mori shader balls sweeping
     from a teal dielectric (roughness 1) to gold metal (roughness 0.02),
@@ -169,6 +172,7 @@ def create_material_scene(environment_map=None):
     return scene, camera
 
 
+@host_build
 def create_veach_scene(with_mesh_light: bool = False):
     """Veach.h:27: the classic MIS scene — four increasingly rough plates
     reflecting three sphere lights of increasing size and equal power."""
@@ -206,6 +210,7 @@ def create_veach_scene(with_mesh_light: bool = False):
     return scene, camera
 
 
+@host_build
 def create_sphere_scene():
     """Sphere.h: a single sphere on a plane under an environment."""
     mats = MaterialArray.build([
@@ -221,6 +226,7 @@ def create_sphere_scene():
     return scene, camera
 
 
+@host_build
 def create_sphere_light_scene():
     """SphereLight.h: a diffuse sphere lit by a large nearby sphere light."""
     mats = MaterialArray.build([dielectric((0.8, 0.8, 0.8), 0.7)])
@@ -234,6 +240,7 @@ def create_sphere_light_scene():
     return scene, camera
 
 
+@host_build
 def create_glass_scene():
     """GlassScene.h analogue: transmissive spheres over a checker-ish floor."""
     mats = MaterialArray.build([
@@ -281,6 +288,7 @@ def _checkered_floor_parts(floor_size=400.0, checker_size=1.0,
     return mesh, material, texture
 
 
+@host_build
 def create_opacity_scene():
     """Opacity.h: checkered floor, a 0.1-radius sphere light inside a
     17x17-grid CUTOUT box ("Swizz box"), and two thin-walled
@@ -323,6 +331,7 @@ def create_opacity_scene():
     return scene, camera
 
 
+@host_build
 def create_test_scene():
     """TestScene.h analogue: a mixed-material still life."""
     mats = MaterialArray.build([

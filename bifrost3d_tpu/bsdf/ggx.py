@@ -51,7 +51,9 @@ def roughness_from_alpha(alpha):
 
 
 def effectively_smooth(alpha):
-    return alpha <= MIN_ALPHA
+    # jnp result even for Python-float alpha: callers apply `~`/`|`, which
+    # deprecates on builtin bools.
+    return jnp.asarray(alpha) <= MIN_ALPHA
 
 
 def height_correlated_g(alpha, wo, wi):

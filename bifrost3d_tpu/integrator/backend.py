@@ -17,19 +17,29 @@ import jax
 import jax.numpy as jnp
 
 from bifrost3d_tpu.integrator.aov import render_aovs
-from bifrost3d_tpu.integrator.path_tracer import RenderSettings, render_sample
+from bifrost3d_tpu.integrator.path_tracer import (
+    RenderSettings,
+    render_sample_pooled,
+)
 
 
 class SimpleBackend:
-    """One progressive launch per frame + running average accumulation."""
+    """One progressive launch per frame + running average accumulation.
+
+    Forward product path: renders through the pooled compacting wavefront
+    (compaction + ray regeneration, path_tracer.render_sample_pooled) —
+    the dense fixed-iteration integrator stays reserved for autodiff.
+    """
 
     def __init__(self, scene, camera, width: int, height: int,
-                 settings: RenderSettings = RenderSettings()):
+                 settings: RenderSettings = RenderSettings(),
+                 pool_size: int = 65536):
         self.scene = scene
         self.camera = camera
         self.width = width
         self.height = height
         self.settings = settings
+        self.pool_size = pool_size
         self.accumulations = 0
         self.buffer = jnp.zeros((height, width, 3), jnp.float32)
 
@@ -38,8 +48,9 @@ class SimpleBackend:
         self.buffer = jnp.zeros((self.height, self.width, 3), jnp.float32)
 
     def render(self):
-        frame = render_sample(self.scene, self.camera, self.width, self.height,
-                              self.accumulations, self.settings)
+        frame = render_sample_pooled(
+            self.scene, self.camera, self.width, self.height,
+            self.accumulations, self.settings, self.pool_size)
         self.accumulations += 1
         self.buffer = self.buffer + (frame - self.buffer) / self.accumulations
         return self.buffer

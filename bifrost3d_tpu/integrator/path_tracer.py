@@ -67,6 +67,14 @@ class RenderSettings(NamedTuple):
     # any-hit query. Use settings_for_scene() to fill it.
     coverage_aware_shadows: bool = False
     shadow_coverage_steps: int = 4
+    # Extra wavefront iterations granted to the fixed-iteration (dense)
+    # integrator for coverage/backface PASSTHROUGH events, which advance the
+    # ray without consuming a bounce (the reference's do/while never charges
+    # passthrough against the bounce budget, SimpleRGPs.cu:133-137). A lane
+    # that still has passthrough surfaces ahead when iterations run out loses
+    # the rest of its path, so semi-transparent scenes need a bigger budget —
+    # settings_for_scene() raises it to 8 for them.
+    passthrough_slack: int = 2
     # Use the presampled environment pool for NEE when the scene carries one
     # (the reference's default, Defines.h:15). Falls back to 2-level CDF
     # search when the scene has no pool.
@@ -89,6 +97,8 @@ def settings_for_scene(scene: RenderScene, **overrides) -> RenderSettings:
         or np.any(np.asarray(mats.coverage_texture) >= 0)
         or np.any(np.asarray(mats.flags) & FLAG_CUTOUT))
     overrides.setdefault("coverage_aware_shadows", semi_transparent)
+    if semi_transparent:
+        overrides.setdefault("passthrough_slack", 8)
     return RenderSettings(shading_models_present=present, **overrides)
 
 
@@ -281,7 +291,7 @@ def _sample_single_light(scene: RenderScene, bundle, position, wo, shading_norma
     total = n_lights + (1 if has_env else 0)
     if total == 0:
         z = jnp.zeros(position.shape[:-1])
-        return position, z, jnp.zeros_like(position)
+        return position, z, jnp.zeros_like(position), z > 0.0
 
     pick = jnp.minimum((u3[..., 2] * total).astype(jnp.int32), total - 1)
 
@@ -323,21 +333,33 @@ def _sample_single_light(scene: RenderScene, bundle, position, wo, shading_norma
     f = jnp.where(ls.is_delta[..., None],
                   jnp.minimum(f, settings.delta_light_clamp), f)
     radiance = radiance * weight[..., None] * f
-    return ls.direction, ls.distance, radiance
+    # PDF validity of the candidate itself (Types.h:170 is_valid) — kept
+    # separately from the radiance so the caller can key MIS bookkeeping on
+    # it rather than on the radiance sum (MonteCarlo.cu:231-233).
+    pdf_valid = ls.pdf > 1e-6
+    return ls.direction, ls.distance, radiance, pdf_valid
 
 
 def _reestimated_light_samples(scene, bundle, position, wo, shading_normal,
                                u4_base, settings: RenderSettings):
-    """RIS over next_event_sample_count candidates (MonteCarlo.cu:91-123)."""
+    """RIS over next_event_sample_count candidates (MonteCarlo.cu:91-123).
+
+    Returns (direction, distance, radiance, pdf_valid): ``pdf_valid`` is the
+    PDF validity of the RIS-SELECTED candidate (the reference reservoir keeps
+    the whole LightSample incl. its PDF; ``LightSample::none()`` is invalid),
+    which is what MIS-disable keys on (MonteCarlo.cu:231-233) — NOT whether
+    the selected radiance happens to be zero.
+    """
     direction = jnp.zeros_like(position)
     distance = jnp.zeros(position.shape[:-1])
     radiance = jnp.zeros_like(position)
+    pdf_valid = jnp.zeros(position.shape[:-1], bool)  # LightSample::none()
     if settings.next_event_sample_count <= 0:
         # NEE disabled: no candidates (and no 0/0 from the average below).
-        return direction, distance, radiance
+        return direction, distance, radiance, pdf_valid
     for s in range(settings.next_event_sample_count):
         u4 = _toroidal_shift(u4_base, _RIS_OFFSETS[s])
-        new_dir, new_dist, new_rad = _sample_single_light(
+        new_dir, new_dist, new_rad, new_valid = _sample_single_light(
             scene, bundle, position, wo, shading_normal, u4[..., :3], settings)
         w_old = jnp.sum(radiance, axis=-1)
         w_new = jnp.sum(new_rad, axis=-1)
@@ -346,6 +368,7 @@ def _reestimated_light_samples(scene, bundle, position, wo, shading_normal,
         take = u4[..., 3] < p_new
         direction = jnp.where(take[..., None], new_dir, direction)
         distance = jnp.where(take, new_dist, distance)
+        pdf_valid = jnp.where(take, new_valid, pdf_valid)
         # Reservoir update: the kept candidate's radiance is divided by its
         # selection probability; the denominator is forced to 1 whenever the
         # reservoir is empty or the probability underflows, so the masked-out
@@ -356,7 +379,8 @@ def _reestimated_light_samples(scene, bundle, position, wo, shading_normal,
             any_w[..., None],
             jnp.where(take[..., None], new_rad, radiance) / denom[..., None],
             0.0)
-    return direction, distance, radiance / settings.next_event_sample_count
+    return (direction, distance,
+            radiance / settings.next_event_sample_count, pdf_valid)
 
 
 # ---------------------------------------------------------------------------
@@ -570,7 +594,7 @@ def _wavefront_step(scene: RenderScene, settings: RenderSettings,
     # --- NEE with RIS ---
     u_nee = path_rng_4d(accumulation, pixel_hash,
                         bounce * Dimension.PER_BOUNCE + Dimension.NEE)
-    l_dir, l_dist, l_radiance = _reestimated_light_samples(
+    l_dir, l_dist, l_radiance, nee_valid = _reestimated_light_samples(
         scene, bundle, position, wo, sn, u_nee, settings)
     l_radiance = l_radiance * throughput
     shadow_origin = position + geo_normal * jnp.where(
@@ -592,7 +616,6 @@ def _wavefront_step(scene: RenderScene, settings: RenderSettings,
         shadow_trans = jnp.where(occluded, 0.0, 1.0)
     radiance = radiance + jnp.where(
         has_light[..., None], l_radiance * shadow_trans[..., None], 0.0)
-    nee_valid = jnp.sum(l_radiance, axis=-1) > 0.0
 
     # --- BSDF sampling ---
     s = _shading_sample(bundle, wo, u_bsdf4[..., :3])
@@ -675,8 +698,9 @@ def render_sample_pixels(scene: RenderScene, camera: PinholeCamera,
         active=jnp.isfinite(origin.reshape(flat, 3)[..., 0]),
     )
 
-    # Iterations = bounces + slack for coverage/backface passthrough lanes.
-    n_iters = settings.max_bounce_count + 3
+    # Iterations = bounces + slack for coverage/backface passthrough lanes
+    # (each iteration is one shade OR one passthrough; see passthrough_slack).
+    n_iters = settings.max_bounce_count + 1 + settings.passthrough_slack
     step = partial(_wavefront_step, scene, settings, accumulation)
     state = jax.lax.fori_loop(0, n_iters, lambda i, s: step(s), state)
     return state.radiance.reshape(shape + (3,))
@@ -687,11 +711,15 @@ def render_sample_pixels(scene: RenderScene, camera: PinholeCamera,
 # ---------------------------------------------------------------------------
 
 def _make_camera_lanes(camera: PinholeCamera, pixel_idx, width: int,
-                       height: int, accumulation) -> _PathState:
-    """Fresh camera-ray lanes for flat pixel indices ([r] int32; >= w·h
-    means an idle lane)."""
+                       height: int, accumulation,
+                       pixel_end=None) -> _PathState:
+    """Fresh camera-ray lanes for flat pixel indices ([r] int32; >=
+    ``pixel_end`` means an idle lane). ``pixel_end`` may be traced (sharded
+    renders pass a per-device row range); defaults to width·height."""
     n_pixels = width * height
-    valid = pixel_idx < n_pixels
+    if pixel_end is None:
+        pixel_end = n_pixels
+    valid = pixel_idx < pixel_end
     safe_idx = jnp.minimum(pixel_idx, n_pixels - 1)
     x = (safe_idx % width).astype(jnp.uint32)
     y = (safe_idx // width).astype(jnp.uint32)
@@ -715,12 +743,14 @@ def _make_camera_lanes(camera: PinholeCamera, pixel_idx, width: int,
         active=valid & jnp.isfinite(origin[..., 0]))
 
 
-@partial(jax.jit, static_argnames=("width", "height", "settings", "pool_size"))
-def render_sample_pooled(scene: RenderScene, camera: PinholeCamera,
+def render_pixels_pooled(scene: RenderScene, camera: PinholeCamera,
                          width: int, height: int, accumulation,
                          settings: RenderSettings = RenderSettings(),
-                         pool_size: int = 65536):
-    """One progressive frame through a fixed-capacity ray pool.
+                         pool_size: int = 65536,
+                         pixel_start=0, n_pixels: int | None = None):
+    """Pooled wavefront over the flat pixel range
+    [pixel_start, pixel_start + n_pixels) → (radiance [n_pixels, 3],
+    ray_count [] uint32).
 
     The TPU answer to dead-lane waste in the fixed-iteration wavefront
     (the reference's megakernel keeps one thread per pixel for the whole
@@ -730,59 +760,95 @@ def render_sample_pooled(scene: RenderScene, camera: PinholeCamera,
     remaining pixel queue, so every trace call runs at ~full occupancy
     regardless of path-length variance. Forward-only (dynamic while_loop);
     the differentiable path stays :func:`render_sample`.
+
+    ``pixel_start`` may be traced (sharded renders pass per-device row
+    offsets, e.g. ``axis_index * n_pixels``); ``n_pixels`` is static.
+    ``ray_count`` counts live lanes per wavefront iteration × 2 (closest-hit
+    + shadow trace) — the exact in-run ray tally the benchmark reports.
     """
     accumulation = jnp.asarray(accumulation, jnp.uint32)
-    n_pixels = width * height
+    if n_pixels is None:
+        n_pixels = width * height
+    pixel_start = jnp.asarray(pixel_start, jnp.int32)
+    pixel_end = pixel_start + n_pixels
     r = min(pool_size, n_pixels)
 
-    pixel_idx0 = jnp.arange(r, dtype=jnp.int32)
+    pixel_idx0 = pixel_start + jnp.arange(r, dtype=jnp.int32)
     state0 = _make_camera_lanes(camera, pixel_idx0, width, height,
-                                accumulation)
+                                accumulation, pixel_end)
     accum0 = jnp.zeros((n_pixels, 3), jnp.float32)
     step = partial(_wavefront_step, scene, settings, accumulation)
 
     # Safety bound: generous multiple of the expected iteration count
-    # (per-wave bounces × number of pool refills) so a pathological
-    # passthrough chain can't hang the loop.
-    max_iters = (n_pixels // r + 1) * (settings.max_bounce_count + 3) * 4 + 64
+    # (per-wave bounces+passthroughs × number of pool refills) so a
+    # pathological passthrough chain can't hang the loop.
+    bounce_iters = settings.max_bounce_count + 1 + settings.passthrough_slack
+    max_iters = (n_pixels // r + 1) * bounce_iters * 4 + 64
 
     def cond(carry):
-        state, pixel_idx, accum, next_pixel, it = carry
-        return (jnp.any(state.active) | (next_pixel < n_pixels)) \
+        state, pixel_idx, accum, next_pixel, it, rays = carry
+        return (jnp.any(state.active) | (next_pixel < pixel_end)) \
             & (it < max_iters)
 
     def body(carry):
-        state, pixel_idx, accum, next_pixel, it = carry
+        state, pixel_idx, accum, next_pixel, it, rays = carry
+        rays = rays + 2 * jnp.sum(state.active.astype(jnp.uint32))
         state = step(state)
-        valid = pixel_idx < n_pixels
+        valid = pixel_idx < pixel_end
         done = valid & ~state.active
 
         # Scatter finished lanes into the frame (each pixel exactly once
         # per accumulation pass → plain add).
-        accum = accum.at[jnp.minimum(pixel_idx, n_pixels - 1)].add(
+        accum = accum.at[jnp.clip(pixel_idx - pixel_start,
+                                  0, n_pixels - 1)].add(
             jnp.where(done[..., None], state.radiance, 0.0))
 
         # Regenerate: hand each finished lane the next unstarted pixel.
         slot = jnp.cumsum(done.astype(jnp.int32)) - 1
         new_idx = next_pixel + slot
-        refill = done & (new_idx < n_pixels)
+        refill = done & (new_idx < pixel_end)
         pixel_idx = jnp.where(refill, new_idx,
-                              jnp.where(done, n_pixels, pixel_idx))
+                              jnp.where(done, pixel_end, pixel_idx))
         next_pixel = jnp.minimum(
-            next_pixel + jnp.sum(done.astype(jnp.int32)), n_pixels)
+            next_pixel + jnp.sum(done.astype(jnp.int32)), pixel_end)
 
         fresh = _make_camera_lanes(camera, pixel_idx, width, height,
-                                   accumulation)
+                                   accumulation, pixel_end)
         state = _PathState(*(
             jnp.where(refill.reshape(refill.shape + (1,) * (f.ndim - 1)),
                       f, s)
             for f, s in zip(fresh, state)))
-        return state, pixel_idx, accum, next_pixel, it + 1
+        return state, pixel_idx, accum, next_pixel, it + 1, rays
 
-    _, _, accum, _, _ = jax.lax.while_loop(
+    _, _, accum, _, _, rays = jax.lax.while_loop(
         cond, body,
-        (state0, pixel_idx0, accum0, jnp.int32(r), jnp.int32(0)))
+        (state0, pixel_idx0, accum0, pixel_start + r, jnp.int32(0),
+         jnp.uint32(0)))
+    return accum, rays
+
+
+@partial(jax.jit, static_argnames=("width", "height", "settings", "pool_size"))
+def render_sample_pooled(scene: RenderScene, camera: PinholeCamera,
+                         width: int, height: int, accumulation,
+                         settings: RenderSettings = RenderSettings(),
+                         pool_size: int = 65536):
+    """One progressive frame through the pooled wavefront
+    (:func:`render_pixels_pooled`) → radiance [height, width, 3]."""
+    accum, _ = render_pixels_pooled(scene, camera, width, height,
+                                    accumulation, settings, pool_size)
     return accum.reshape(height, width, 3)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "settings", "pool_size"))
+def render_sample_pooled_counted(scene: RenderScene, camera: PinholeCamera,
+                                 width: int, height: int, accumulation,
+                                 settings: RenderSettings = RenderSettings(),
+                                 pool_size: int = 65536):
+    """Like :func:`render_sample_pooled` but also returns the exact in-run
+    ray count (live lanes × 2 per iteration) — used by bench.py."""
+    accum, rays = render_pixels_pooled(scene, camera, width, height,
+                                       accumulation, settings, pool_size)
+    return accum.reshape(height, width, 3), rays
 
 
 @partial(jax.jit, static_argnames=("width", "height", "settings"))
@@ -800,10 +866,16 @@ def render_sample(scene: RenderScene, camera: PinholeCamera,
 
 def render_progressive(scene: RenderScene, camera: PinholeCamera,
                        width: int, height: int, accumulations: int,
-                       settings: RenderSettings = RenderSettings()):
-    """Progressive accumulation (lerp 1/(n+1), SimpleRGPs.cu:74-107)."""
+                       settings: RenderSettings = RenderSettings(),
+                       pool_size: int = 65536):
+    """Progressive accumulation (lerp 1/(n+1), SimpleRGPs.cu:74-107).
+
+    Forward product path: runs each sample through the pooled compacting
+    wavefront (1.5-1.6× the dense fixed-iteration integrator on TPU).
+    """
     buffer = jnp.zeros((height, width, 3), jnp.float32)
     for n in range(accumulations):
-        frame = render_sample(scene, camera, width, height, n, settings)
+        frame = render_sample_pooled(scene, camera, width, height, n,
+                                     settings, pool_size)
         buffer = buffer + (frame - buffer) / (n + 1)
     return buffer

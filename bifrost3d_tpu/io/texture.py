@@ -17,6 +17,7 @@ from typing import List, NamedTuple, Optional
 
 import numpy as np
 import jax.numpy as jnp
+from bifrost3d_tpu.utils.hostbuild import host_build
 
 # Filter modes (Assets/Texture.h sampler state).
 FILTER_NONE = 0
@@ -78,6 +79,7 @@ class TextureBank(NamedTuple):
         return int(self.data.shape[0]) if self.data.ndim == 4 else 0
 
     @staticmethod
+    @host_build
     def build(textures) -> "TextureBank":
         """textures: list of dicts {image [h,w,c] float, filter, wrap_u, wrap_v}."""
         if not textures:

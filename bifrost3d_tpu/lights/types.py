@@ -6,6 +6,7 @@ from typing import NamedTuple
 
 import numpy as np
 import jax.numpy as jnp
+from bifrost3d_tpu.utils.hostbuild import host_build
 
 LIGHT_SPHERE = 0
 LIGHT_SPOT = 1
@@ -34,6 +35,7 @@ class LightArray(NamedTuple):
         return int(self.kind.shape[0])
 
     @staticmethod
+    @host_build
     def build(lights) -> "LightArray":
         """lights: list of dicts with 'kind' + per-type fields."""
         l = len(lights)

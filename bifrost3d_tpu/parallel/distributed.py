@@ -196,33 +196,36 @@ def make_multihost_render(mesh, width: int, height: int, settings=None):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
     from bifrost3d_tpu.integrator.path_tracer import (
-        RenderSettings, render_sample_pixels)
+        RenderSettings, render_pixels_pooled)
     from bifrost3d_tpu.parallel.mesh import TILE_AXIS, pad_to_multiple
 
     settings = settings or RenderSettings()
-    padded_h = pad_to_multiple(height, mesh.devices.size)
-    lo, hi = shard_rows_local(mesh, padded_h)
-    y_loc = np.broadcast_to(
-        np.arange(lo, hi, dtype=np.uint32)[:, None], (hi - lo, width))
-    x_loc = np.broadcast_to(
-        np.arange(width, dtype=np.uint32)[None, :], (hi - lo, width))
-    x_all = make_global_rows(mesh, x_loc, padded_h)
-    y_all = make_global_rows(mesh, y_loc, padded_h)
+    n_dev = mesh.devices.size
+    padded_h = pad_to_multiple(height, n_dev)
+    rows_per_dev = padded_h // n_dev
+    shard_pixels = rows_per_dev * width
 
+    # Each device renders its flat pixel range through the POOLED compacting
+    # wavefront (the forward product path, as make_sharded_render). The
+    # range derives from axis_index, so no global index grids are needed —
+    # the same code runs from 1 process × 1 chip to N hosts × M chips.
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(), P(TILE_AXIS), P(TILE_AXIS), P()),
+             in_specs=(P(), P(), P()),
              out_specs=P(TILE_AXIS), check_vma=False)
-    def _render_shard(scene, camera, x, y, accumulation):
-        return render_sample_pixels(scene, camera, x, y, width, height,
-                                    accumulation, settings)
+    def _render_shard(scene, camera, accumulation):
+        start = jax.lax.axis_index(TILE_AXIS).astype(jnp.int32) * shard_pixels
+        accum, _ = render_pixels_pooled(
+            scene, camera, width, height, accumulation, settings,
+            pool_size=min(65536, shard_pixels), pixel_start=start,
+            n_pixels=shard_pixels)
+        return accum.reshape(rows_per_dev, width, 3)
 
     @jax.jit
-    def _render(scene, camera, x, y, accumulation):
-        return _render_shard(scene, camera, x, y, accumulation)
+    def _render(scene, camera, accumulation):
+        return _render_shard(scene, camera, accumulation)
 
     def render(scene, camera, accumulation):
-        return _render(scene, camera, x_all, y_all,
-                       jnp.asarray(accumulation, jnp.uint32))
+        return _render(scene, camera, jnp.asarray(accumulation, jnp.uint32))
 
     return render
 

@@ -65,37 +65,45 @@ def render_smallpt_sharded(scene: SphereScene, width: int, height: int,
 # Full wavefront integrator over the mesh (the production path)
 # ---------------------------------------------------------------------------
 
-def make_sharded_render(mesh, width: int, height: int, settings=None):
+def make_sharded_render(mesh, width: int, height: int, settings=None,
+                        pool_size: int = 65536):
     """Sharded mesh-scene render: (scene, camera, accumulation) → [H, W, 3].
 
     Pixel rows shard over the 'tiles' axis; the RenderScene (triangle soup,
     BVH, materials, lights, env tables) and camera replicate — the
     BASELINE.json data-parallel layout. Zero collectives in the forward
     pass; on hardware each device runs the Pallas intersector on its rows.
+
+    Each device renders its flat pixel range through the POOLED compacting
+    wavefront (the forward product path): the while_loop trip count varies
+    per device and contains no collectives, so devices finish their row
+    blocks independently.
     """
     from bifrost3d_tpu.integrator.path_tracer import (
-        RenderSettings, render_sample_pixels)
+        RenderSettings, render_pixels_pooled)
 
     settings = settings or RenderSettings()
     n_dev = mesh.devices.size
     padded_h = pad_to_multiple(height, n_dev)
-    y_all = jnp.broadcast_to(
-        jnp.arange(padded_h, dtype=jnp.uint32)[:, None], (padded_h, width))
-    x_all = jnp.broadcast_to(
-        jnp.arange(width, dtype=jnp.uint32)[None, :], (padded_h, width))
+    rows_per_dev = padded_h // n_dev
+    shard_pixels = rows_per_dev * width
 
     # check_vma=False: the Pallas intersector's ShapeDtypeStruct outputs
     # carry no varying-mesh-axes annotation.
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(), P(TILE_AXIS), P(TILE_AXIS), P()),
+             in_specs=(P(), P(), P()),
              out_specs=P(TILE_AXIS), check_vma=False)
-    def _render_shard(scene, camera, x, y, accumulation):
-        return render_sample_pixels(scene, camera, x, y, width, height,
-                                    accumulation, settings)
+    def _render_shard(scene, camera, accumulation):
+        start = jax.lax.axis_index(TILE_AXIS).astype(jnp.int32) * shard_pixels
+        accum, _ = render_pixels_pooled(
+            scene, camera, width, height, accumulation, settings,
+            pool_size=min(pool_size, shard_pixels), pixel_start=start,
+            n_pixels=shard_pixels)
+        return accum.reshape(rows_per_dev, width, 3)
 
     @jax.jit
     def render(scene, camera, accumulation):
-        img = _render_shard(scene, camera, x_all, y_all,
+        img = _render_shard(scene, camera,
                             jnp.asarray(accumulation, jnp.uint32))
         return img[:height]
 

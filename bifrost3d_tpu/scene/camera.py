@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from bifrost3d_tpu.math.transform import Transform, transform_look_at
 from bifrost3d_tpu.math.quaternion import quat_rotate
 from bifrost3d_tpu.math.vec import normalize
+from bifrost3d_tpu.utils.hostbuild import host_build
 
 
 class PinholeCamera(NamedTuple):
@@ -66,6 +67,7 @@ def orthographic_projection(width, height, depth):
     return proj, inv
 
 
+@host_build
 def perspective_camera(eye, target, fov_radians=jnp.pi / 3, aspect=1.0,
                        near=0.1, far=1000.0, up=None) -> PinholeCamera:
     proj, inv = perspective_projection(near, far, fov_radians, aspect)

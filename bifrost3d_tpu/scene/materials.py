@@ -16,6 +16,7 @@ from typing import NamedTuple
 
 import numpy as np
 import jax.numpy as jnp
+from bifrost3d_tpu.utils.hostbuild import host_build
 
 from bifrost3d_tpu.bsdf.fresnel import dielectric_specularity
 
@@ -89,6 +90,7 @@ class MaterialArray(NamedTuple):
         return self.shading_model[index] == SHADING_TRANSMISSIVE
 
     @staticmethod
+    @host_build
     def build(materials) -> "MaterialArray":
         """materials: list of dicts (see factory helpers below)."""
         m = len(materials)

@@ -24,6 +24,7 @@ from bifrost3d_tpu.lights.environment import (
 from bifrost3d_tpu.lights.types import LightArray
 from bifrost3d_tpu.io.texture import TextureBank
 from bifrost3d_tpu.scene.materials import MaterialArray
+from bifrost3d_tpu.utils.hostbuild import host_build
 
 
 class RenderScene(NamedTuple):
@@ -53,6 +54,7 @@ class RenderScene(NamedTuple):
     environment_presampled: Optional[object] = None
 
 
+@host_build
 def build_render_scene(instances, materials: MaterialArray,
                        lights: Optional[LightArray] = None,
                        environment_map=None,

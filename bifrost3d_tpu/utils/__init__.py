@@ -16,8 +16,10 @@ from bifrost3d_tpu.utils.profiling import (
     StageTimings,
     device_trace,
 )
+from bifrost3d_tpu.utils.hostbuild import host_build
 
 __all__ = [
     "save_checkpoint", "load_checkpoint", "latest_checkpoint",
     "FrameTimer", "StageTimings", "device_trace",
+    "host_build",
 ]
