@@ -180,12 +180,17 @@ def bench_smallpt():
 
 
 def bench_torus_grid():
-    """589,824-triangle torus grid through the hierarchical cluster-culled
-    Pallas intersector (the large-scene path), 65k coherent camera rays."""
+    """589,824-triangle torus grid, 65k coherent camera rays.
+
+    Product path = the hierarchical block-BVH Pallas kernel
+    (geometry/pallas_bvh.py); the linear cluster-cull kernel is measured in
+    the same run as ``linear_ms`` so the hierarchical win stays anchored."""
     import jax
     import jax.numpy as jnp
     from bifrost3d_tpu.geometry import make_torus
     from bifrost3d_tpu.geometry.mesh import combine_meshes, transform_mesh
+    from bifrost3d_tpu.geometry.pallas_bvh import (
+        hierarchical_intersect, pack_hierarchical)
     from bifrost3d_tpu.geometry.pallas_clustered import (
         clustered_intersect, pack_clustered)
 
@@ -210,17 +215,28 @@ def bench_torus_grid():
     o = jnp.asarray(np.broadcast_to(eye, d.shape).copy())
     d = jnp.asarray(d)
 
-    packed = jax.device_put(pack_clustered(tris))
-    clu = jax.jit(lambda o, d: clustered_intersect(packed, o, d, 1e-4, jnp.inf))
-    jax.block_until_ready(clu(o, d))
-    t0 = time.perf_counter()
-    h = None
-    for _ in range(REPS):
-        h = clu(o, d)
-    jax.block_until_ready(h)
-    dt = (time.perf_counter() - t0) / REPS
+    def timed(f):
+        jax.block_until_ready(f(o, d))
+        t0 = time.perf_counter()
+        h = None
+        for _ in range(REPS):
+            h = f(o, d)
+        jax.block_until_ready(h)
+        return (time.perf_counter() - t0) / REPS, h
+
+    ph = jax.device_put(pack_hierarchical(tris))
+    hier = jax.jit(lambda o, d: hierarchical_intersect(ph, o, d, 1e-4,
+                                                       jnp.inf))
+    dt, h_hier = timed(hier)
+
+    pc = jax.device_put(pack_clustered(tris))
+    clu = jax.jit(lambda o, d: clustered_intersect(pc, o, d, 1e-4, jnp.inf))
+    dt_lin, h_lin = timed(clu)
+    assert bool(jnp.all(h_hier.prim == h_lin.prim)), "kernel hit mismatch"
+
     return {"tris": int(tris.shape[0]),
-            "rays_per_sec": d.shape[0] / dt, "trace_ms": dt * 1e3}
+            "rays_per_sec": d.shape[0] / dt, "trace_ms": dt * 1e3,
+            "linear_ms": dt_lin * 1e3, "vs_linear": dt_lin / dt}
 
 
 def bench_material_scene():
@@ -272,7 +288,8 @@ def main():
     result.update({k: round(v, 2) for k, v in bench_backward().items()})
     if not quick:
         result["torus_grid_590k"] = {
-            k: round(v) if k != "trace_ms" else round(v, 2)
+            k: round(v) if k == "tris" or k == "rays_per_sec"
+            else round(v, 2)
             for k, v in bench_torus_grid().items()}
         result["material_scene_gltf"] = {
             k: round(v) if k != "frame_ms" else round(v, 2)

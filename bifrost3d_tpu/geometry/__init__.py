@@ -28,7 +28,7 @@ from bifrost3d_tpu.geometry.creation import (
     make_cylinder,
     make_torus,
 )
-from bifrost3d_tpu.geometry.bvh import BVH, build_bvh
+from bifrost3d_tpu.geometry.bvh import BVH, build_bvh, build_bvh_boxes
 from bifrost3d_tpu.geometry.traverse import (
     intersect_bvh,
     intersect_bvh_any,

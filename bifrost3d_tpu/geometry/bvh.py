@@ -80,6 +80,38 @@ def build_bvh(positions, indices, use_native: bool = True) -> BVH:
                 node_a=jnp.asarray(node_a), node_count=jnp.asarray(node_count),
                 prim_indices=jnp.asarray(prim_order)))
 
+    return _check_stack_depth(
+        _build_bvh_arrays(tri_min, tri_max, centroids, MAX_LEAF_SIZE))
+
+
+def build_bvh_boxes(box_min, box_max, max_leaf: int = 1,
+                    use_native: bool = True) -> BVH:
+    """Build a BVH over axis-aligned boxes (e.g. triangle-cluster AABBs).
+
+    Same flattened layout as :func:`build_bvh`; ``prim_indices`` holds box
+    ids. Used for the cluster-level hierarchy of the hierarchical Pallas
+    traversal (geometry/pallas_bvh.py) — the TPU answer to the reference's
+    two-level Trbvh accel (OptiXRenderer/Renderer.cpp:161-182,470-477).
+    """
+    lo = np.asarray(box_min, np.float64)
+    hi = np.asarray(box_max, np.float64)
+    if use_native and lo.shape[0] > 0:
+        from bifrost3d_tpu.geometry.native import build_bvh_native
+        res = build_bvh_native(lo.astype(np.float32), hi.astype(np.float32),
+                               max_leaf)
+        if res is not None:
+            node_min, node_max, node_a, node_count, prim_order = res
+            return _check_stack_depth(BVH(
+                node_min=jnp.asarray(node_min), node_max=jnp.asarray(node_max),
+                node_a=jnp.asarray(node_a), node_count=jnp.asarray(node_count),
+                prim_indices=jnp.asarray(prim_order)))
+    return _check_stack_depth(
+        _build_bvh_arrays(lo, hi, (lo + hi) * 0.5, max_leaf))
+
+
+def _build_bvh_arrays(tri_min, tri_max, centroids, max_leaf: int) -> BVH:
+    """Numpy binned-SAH builder over bounding boxes (reference/fallback)."""
+    t = tri_min.shape[0]
     # Worst case 2t-1 nodes.
     cap = max(2 * t, 2)
     node_min = np.zeros((cap, 3), np.float32)
@@ -117,7 +149,7 @@ def build_bvh(positions, indices, use_native: bool = True) -> BVH:
             node_max[me] = hi
 
             split = _find_split(sel, centroids, tri_min, tri_max, lo, hi, surface)
-            if count <= MAX_LEAF_SIZE:
+            if count <= max_leaf:
                 node_a[me] = first
                 node_cnt[me] = count
                 continue
@@ -191,13 +223,13 @@ def build_bvh(positions, indices, use_native: bool = True) -> BVH:
 
     emit(0, t)
 
-    return _check_stack_depth(BVH(
+    return BVH(
         node_min=jnp.asarray(node_min[:n_nodes]),
         node_max=jnp.asarray(node_max[:n_nodes]),
         node_a=jnp.asarray(node_a[:n_nodes]),
         node_count=jnp.asarray(node_cnt[:n_nodes]),
         prim_indices=jnp.asarray(prim_order),
-    ))
+    )
 
 
 def _check_stack_depth(bvh: BVH) -> BVH:

@@ -196,7 +196,7 @@ def clustered_intersect(packed: ClusteredTriangles, origin, direction,
             pl.BlockSpec((8, BLOCK_R), lambda i: (0, i),
                          memory_space=pltpu.VMEM),   # rays
             pl.BlockSpec(memory_space=pltpu.VMEM),   # cluster boxes
-            pl.BlockSpec(memory_space=pltpu.ANY),    # triangles (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),    # triangles (HBM)
         ],
         out_specs=[block_out] * 4,
         out_shape=out_shape,

@@ -178,7 +178,7 @@ def pallas_intersect(tri_components, n_tris, origin, direction,
             pl.BlockSpec(memory_space=pltpu.SMEM),            # n_tris
             pl.BlockSpec((8, BLOCK_R), lambda i: (0, i),
                          memory_space=pltpu.VMEM),            # rays
-            pl.BlockSpec(memory_space=pltpu.ANY),             # tris (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),             # tris (HBM)
         ],
         out_specs=[block_out] * 4,
         out_shape=out_shape,

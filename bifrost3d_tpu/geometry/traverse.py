@@ -122,14 +122,21 @@ def intersect_scene(bvh: BVH, triangles, origin, direction,
 
     - TPU + small scene → dense Pallas streaming kernel
       (geometry/pallas_intersect.py).
-    - TPU + large scene → cluster-culled Pallas kernel
-      (geometry/pallas_clustered.py).
+    - TPU + large scene → hierarchical block-BVH Pallas kernel
+      (geometry/pallas_bvh.py); the linear cluster-culled kernel
+      (geometry/pallas_clustered.py) remains as a measured-against
+      baseline and accepted packing.
     - small meshes elsewhere → dense XLA brute force (CPU tests, fallback).
     - beyond → lockstep BVH traversal.
     """
     import jax
     on_tpu = jax.default_backend() == "tpu"
     if (tri_clustered is not None and on_tpu and origin.shape[0] >= 256):
+        from bifrost3d_tpu.geometry.pallas_bvh import (
+            HierTriangles, hierarchical_intersect)
+        if isinstance(tri_clustered, HierTriangles):
+            return hierarchical_intersect(tri_clustered, origin, direction,
+                                          t_min, t_max, any_hit=any_hit)
         from bifrost3d_tpu.geometry.pallas_clustered import clustered_intersect
         return clustered_intersect(tri_clustered, origin, direction,
                                    t_min, t_max)

@@ -45,7 +45,9 @@ class RenderScene(NamedTuple):
     # intersector (geometry/pallas_intersect.py); None on scenes built by
     # hand in tests — intersect_scene then falls back to XLA paths.
     tri_components: Optional[jnp.ndarray] = None  # [16, T_pad]
-    # Cluster-culled packing for large scenes (geometry/pallas_clustered.py).
+    # Large-scene accel packing: HierTriangles (hierarchical block-BVH
+    # kernel, geometry/pallas_bvh.py — the default) or ClusteredTriangles
+    # (linear cluster-cull baseline, geometry/pallas_clustered.py).
     tri_clustered: Optional[object] = None
     # Presampled environment pool — the reference's DEFAULT env NEE path
     # (Defines.h:15, PresampledEnvironmentMap.cpp:19-101). Built when
@@ -141,8 +143,8 @@ def _packed_components(tri_verts) -> jnp.ndarray:
 
 
 def _packed_clusters(tri_verts, bvh):
-    from bifrost3d_tpu.geometry.pallas_clustered import pack_clustered
+    from bifrost3d_tpu.geometry.pallas_bvh import pack_hierarchical
     from bifrost3d_tpu.geometry.traverse import PALLAS_MAX_TRIS
     if tri_verts.shape[0] <= PALLAS_MAX_TRIS:
         return None  # small scene: dense streaming is faster
-    return pack_clustered(tri_verts, bvh)
+    return pack_hierarchical(tri_verts, bvh)

@@ -1,0 +1,123 @@
+"""Hierarchical Pallas BVH traversal (geometry/pallas_bvh.py).
+
+The kernel's contract — identical hits to the dense reference intersector
+— is exercised in interpreter mode on CPU (SURVEY.md §4 "GPU code tested
+on CPU"); the real-TPU speed/parity evidence lives in bench.py --full.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from bifrost3d_tpu.geometry.bvh import build_bvh_boxes
+from bifrost3d_tpu.geometry.pallas_bvh import (
+    CLUSTER_T, HierTriangles, hierarchical_intersect, pack_hierarchical)
+from bifrost3d_tpu.geometry.traverse import intersect_triangles_brute
+
+
+def _soup(n, seed=0, lo=-1.0, hi=1.0, size=0.05):
+    rng = np.random.default_rng(seed)
+    c = rng.uniform(lo, hi, (n, 1, 3))
+    return (c + rng.uniform(-size, size, (n, 3, 3))).astype(np.float32)
+
+
+def _rays(r, seed=1):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-2, 2, (r, 3)).astype(np.float32)
+    d = rng.normal(size=(r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+class TestBuildBvhBoxes:
+    def test_native_matches_numpy(self):
+        rng = np.random.default_rng(3)
+        lo = rng.uniform(-5, 5, (37, 3))
+        hi = lo + rng.uniform(0.1, 2.0, (37, 3))
+        a = build_bvh_boxes(lo, hi, max_leaf=1, use_native=True)
+        b = build_bvh_boxes(lo, hi, max_leaf=1, use_native=False)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_singleton_leaves(self):
+        rng = np.random.default_rng(4)
+        lo = rng.uniform(-5, 5, (21, 3))
+        hi = lo + 0.5
+        bvh = build_bvh_boxes(lo, hi, max_leaf=1)
+        cnt = np.asarray(bvh.node_count)
+        assert cnt.max() == 1
+        assert (cnt > 0).sum() == 21             # one leaf per box
+        assert sorted(np.asarray(bvh.prim_indices)) == list(range(21))
+
+
+class TestPackHierarchical:
+    def test_meta_encoding(self):
+        tri = _soup(1200)
+        packed = pack_hierarchical(tri)
+        meta = np.asarray(packed.node_meta)
+        n_clusters = -(-1200 // CLUSTER_T)
+        leaves = meta[meta < 0]
+        # Every cluster appears exactly once as a leaf.
+        assert sorted(-leaves - 1) == list(range(n_clusters))
+        # order is a permutation of triangle ids (plus padding zeros).
+        order = np.asarray(packed.order)[:1200]
+        assert sorted(order) == list(range(1200))
+
+    def test_single_cluster_scene(self):
+        tri = _soup(100)
+        packed = pack_hierarchical(tri)
+        meta = np.asarray(packed.node_meta)
+        assert meta[0] == -1                      # root is leaf of cluster 0
+
+
+class TestHierarchicalIntersect:
+    @pytest.fixture(scope="class")
+    def scene(self):
+        tri = _soup(1200)
+        return jnp.asarray(tri), pack_hierarchical(tri)
+
+    def test_nearest_matches_brute(self, scene):
+        tri, packed = scene
+        o, d = _rays(600)
+        ref = intersect_triangles_brute(tri, o, d, 1e-4, jnp.inf)
+        got = hierarchical_intersect(packed, o, d, 1e-4, jnp.inf,
+                                     interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref.prim),
+                                      np.asarray(got.prim))
+        m = np.asarray(ref.prim) >= 0
+        np.testing.assert_allclose(np.asarray(ref.t)[m], np.asarray(got.t)[m],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ref.u)[m], np.asarray(got.u)[m],
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_any_hit_occlusion(self, scene):
+        tri, packed = scene
+        o, d = _rays(600, seed=2)
+        ref = intersect_triangles_brute(tri, o, d, 1e-4, jnp.inf)
+        got = hierarchical_intersect(packed, o, d, 1e-4, jnp.inf,
+                                     any_hit=True, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref.prim >= 0),
+                                      np.asarray(got.prim >= 0))
+
+    def test_bounded_t_max(self, scene):
+        """Shadow-segment style query: occluders beyond t_max don't count."""
+        tri, packed = scene
+        o, d = _rays(600, seed=5)
+        ref_inf = intersect_triangles_brute(tri, o, d, 1e-4, jnp.inf)
+        t_max = jnp.where(jnp.isfinite(ref_inf.t), ref_inf.t * 0.5, 0.5)
+        ref = intersect_triangles_brute(tri, o, d, 1e-4, t_max)
+        got = hierarchical_intersect(packed, o, d, 1e-4, t_max,
+                                     any_hit=True, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref.prim >= 0),
+                                      np.asarray(got.prim >= 0))
+
+    def test_single_cluster_nearest(self):
+        tri_np = _soup(100, seed=7)
+        tri = jnp.asarray(tri_np)
+        packed = pack_hierarchical(tri_np)
+        o, d = _rays(300, seed=8)
+        ref = intersect_triangles_brute(tri, o, d, 1e-4, jnp.inf)
+        got = hierarchical_intersect(packed, o, d, 1e-4, jnp.inf,
+                                     interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref.prim),
+                                      np.asarray(got.prim))
