@@ -74,14 +74,28 @@ def optimize_materials(scene: RenderScene, camera, target,
     params = scene.materials
     opt_state = opt.init((params.tint, params.roughness))
 
+    # Differentiate w.r.t. (tint, roughness) ONLY: the backward graph stays
+    # a fraction of the full-scene render_loss_grad (which emits cotangents
+    # for every float leaf — env CDFs, textures, vertex buffers).
+    @partial(jax.jit, static_argnames=("spp_",))
+    def material_loss_grad(tint, roughness, accumulation, spp_):
+        def loss_fn(tr):
+            mats = scene.materials._replace(tint=tr[0], roughness=tr[1])
+            diff_scene = scene._replace(materials=mats)
+            img = 0.0
+            for s in range(spp_):
+                img = img + render_sample(
+                    diff_scene, camera, width, height, accumulation + s,
+                    settings)
+            return image_l2_loss(img / spp_, target)
+
+        return jax.value_and_grad(loss_fn)((tint, roughness))
+
     losses = []
     for step in range(steps):
-        current = scene._replace(materials=params)
         accumulation = step * spp if vary_samples else 0
-        loss, grads = render_loss_grad(
-            current, camera, target, width, height,
-            jnp.uint32(accumulation), settings, spp)
-        g = (grads.materials.tint, grads.materials.roughness)
+        loss, g = material_loss_grad(
+            params.tint, params.roughness, jnp.uint32(accumulation), spp)
         updates, opt_state = opt.update(g, opt_state)
         new_tint, new_roughness = optax.apply_updates(
             (params.tint, params.roughness), updates)

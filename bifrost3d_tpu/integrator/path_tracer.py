@@ -84,6 +84,13 @@ class RenderSettings(NamedTuple):
     # pipelines — the TPU analogue of the reference's per-material closest-hit
     # program selection (Renderer.cpp:753-850). Use settings_for_scene().
     shading_models_present: tuple = (0, 1, 2)
+    # Pooled wavefront: sort the lane pool by direction octant (inactive
+    # lanes last) every N iterations, so the hierarchical trace kernel's
+    # 256-ray blocks stay coherent after bounces mix fresh camera rays with
+    # old bounce rays (SURVEY §7.3 #1 mitigation). 0 = off. Only pays for
+    # large scenes (cull-based kernels); settings_for_scene enables it when
+    # the scene carries a cluster packing.
+    sort_rays_every: int = 0
 
 
 def settings_for_scene(scene: RenderScene, **overrides) -> RenderSettings:
@@ -99,6 +106,12 @@ def settings_for_scene(scene: RenderScene, **overrides) -> RenderSettings:
     overrides.setdefault("coverage_aware_shadows", semi_transparent)
     if semi_transparent:
         overrides.setdefault("passthrough_slack", 8)
+    # Octant-sort the pooled wavefront on large scenes: block coherence
+    # feeds the hierarchical kernel's culling (+12% measured on the glTF
+    # MaterialScene). Small scenes trace dense streaming — sorting would be
+    # pure overhead there.
+    overrides.setdefault("sort_rays_every",
+                         1 if scene.tri_clustered is not None else 0)
     return RenderSettings(shading_models_present=present, **overrides)
 
 
@@ -818,6 +831,24 @@ def render_pixels_pooled(scene: RenderScene, camera: PinholeCamera,
             jnp.where(refill.reshape(refill.shape + (1,) * (f.ndim - 1)),
                       f, s)
             for f, s in zip(fresh, state)))
+
+        if settings.sort_rays_every:
+            # Direction-octant sort (inactive lanes last): keeps the trace
+            # kernel's ray blocks coherent so block-level BVH culling stays
+            # effective as bounce rays diverge (SURVEY §7.3 #1).
+            def sorted_pool(args):
+                st, pix = args
+                d = st.direction
+                key = ((d[:, 0] < 0).astype(jnp.int32) * 4
+                       + (d[:, 1] < 0).astype(jnp.int32) * 2
+                       + (d[:, 2] < 0).astype(jnp.int32)
+                       + jnp.where(st.active, 0, 8))
+                order = jnp.argsort(key, stable=True)
+                return (jax.tree.map(lambda f: f[order], st), pix[order])
+
+            state, pixel_idx = jax.lax.cond(
+                it % settings.sort_rays_every == settings.sort_rays_every - 1,
+                sorted_pool, lambda args: args, (state, pixel_idx))
         return state, pixel_idx, accum, next_pixel, it + 1, rays
 
     _, _, accum, _, _, rays = jax.lax.while_loop(

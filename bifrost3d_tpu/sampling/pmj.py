@@ -15,9 +15,19 @@ output is uploaded as a device constant.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 _FREE = -1
+
+# The construction is O(n·candidates) python-loop work (~36 s for 16k
+# samples) and fully deterministic, so sequences are cached on disk next to
+# the XLA compilation cache. Opt out: BIFROST_NO_COMPILE_CACHE.
+_DISK_CACHE_DIR = (
+    None if os.environ.get("BIFROST_NO_COMPILE_CACHE")
+    else os.path.join(os.path.expanduser("~"), ".cache", "bifrost3d_jax",
+                      "pmj"))
 
 
 def _next_pow2(n: int) -> int:
@@ -38,6 +48,16 @@ def pmj02_bn_samples(count: int, blue_noise_candidates: int = 8,
 
     Returns float32 array [count, 2].
     """
+    cache_path = None
+    if _DISK_CACHE_DIR is not None:
+        cache_path = os.path.join(
+            _DISK_CACHE_DIR,
+            f"pmj02bn_{count}_{blue_noise_candidates}_{seed}.npy")
+        if os.path.exists(cache_path):
+            cached = np.load(cache_path)
+            if cached.shape == (count, 2):
+                return cached
+
     rng = np.random.default_rng(seed)
     samples = np.zeros((count, 2), np.float64)
     n_storage = _next_pow2(count)
@@ -134,4 +154,13 @@ def pmj02_bn_samples(count: int, blue_noise_candidates: int = 8,
             extend_odd(2 * current)
         current *= 4
 
-    return samples[:count].astype(np.float32)
+    out = samples[:count].astype(np.float32)
+    if cache_path is not None:
+        try:
+            os.makedirs(_DISK_CACHE_DIR, exist_ok=True)
+            tmp = cache_path[:-4] + f".tmp{os.getpid()}.npy"
+            np.save(tmp, out)
+            os.replace(tmp, cache_path)   # atomic: safe under parallel tests
+        except OSError:
+            pass
+    return out

@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from bifrost3d_tpu.diff import image_l2_loss, optimize_materials, render_loss_grad
+from bifrost3d_tpu.diff import image_l2_loss, optimize_materials
 from bifrost3d_tpu.geometry import make_plane, make_sphere
 from bifrost3d_tpu.integrator.path_tracer import RenderSettings, render_sample
 from bifrost3d_tpu.lights.types import LIGHT_SPHERE, LightArray
@@ -14,10 +14,14 @@ from bifrost3d_tpu.scene.camera import perspective_camera
 from bifrost3d_tpu.scene.materials import MaterialArray, dielectric
 from bifrost3d_tpu.scene.render_scene import build_render_scene
 
-W, H = 24, 18
+W, H = 16, 12
 # Only DefaultShading compiles (the test scene is a dielectric): compiling
-# all three shading models through grad dominated suite wall time.
-SETTINGS = RenderSettings(max_bounce_count=2, shading_models_present=(0,))
+# all three shading models through grad dominated suite wall time. One RIS
+# candidate: the NEE estimator is unchanged (RIS(1) = single-light NEE) and
+# the Python-unrolled candidate loop stops tripling the compiled graph —
+# RIS(3) semantics are covered by test_path_tracer.
+SETTINGS = RenderSettings(max_bounce_count=2, shading_models_present=(0,),
+                          next_event_sample_count=1)
 
 
 def make_scene(tint=(0.6, 0.4, 0.2), roughness=0.6):
@@ -37,53 +41,60 @@ def camera():
 
 class TestGradients:
     def test_tint_gradient_matches_finite_differences(self, camera):
+        """One jitted value_and_grad serves the analytic gradient AND both
+        finite-difference evaluations (its forward value) — a single XLA
+        compilation instead of three."""
         scene = make_scene()
         target = jnp.zeros((H, W, 3))
 
+        @jax.jit
+        @jax.value_and_grad
         def loss_at(tint_r):
             mats = scene.materials._replace(
                 tint=scene.materials.tint.at[0, 0].set(tint_r))
             s = scene._replace(materials=mats)
             img = render_sample(s, camera, W, H, 0, SETTINGS)
-            return float(image_l2_loss(img, target))
+            return image_l2_loss(img, target)
 
-        loss, grads = render_loss_grad(
-            scene, camera, target, W, H, jnp.uint32(0), SETTINGS)
-        analytic = float(grads.materials.tint[0, 0])
-
+        _, analytic = loss_at(0.6)
         eps = 1e-2
-        fd = (loss_at(0.6 + eps) - loss_at(0.6 - eps)) / (2 * eps)
+        fd = (float(loss_at(0.6 + eps)[0])
+              - float(loss_at(0.6 - eps)[0])) / (2 * eps)
         # Same RNG for every evaluation ⇒ the FD is low-noise; detached
         # sampling leaves a small bias vs the full derivative.
-        np.testing.assert_allclose(analytic, fd, rtol=0.08)
+        np.testing.assert_allclose(float(analytic), fd, rtol=0.08)
 
     def test_light_power_gradient_positive(self, camera):
         """Brighter light → brighter image; d(mean)/d(power) > 0 and
         matches finite differences."""
         scene = make_scene()
 
+        @jax.jit
+        @jax.value_and_grad
         def mean_image(power_scale):
             lights = scene.lights._replace(power=scene.lights.power * power_scale)
             s = scene._replace(lights=lights)
             return jnp.mean(render_sample(s, camera, W, H, 0, SETTINGS))
 
-        g = jax.grad(mean_image)(1.0)
+        _, g = mean_image(1.0)
         assert float(g) > 0
         eps = 1e-2
-        fd = (float(mean_image(1.0 + eps)) - float(mean_image(1.0 - eps))) / (2 * eps)
+        fd = (float(mean_image(1.0 + eps)[0])
+              - float(mean_image(1.0 - eps)[0])) / (2 * eps)
         np.testing.assert_allclose(float(g), fd, rtol=0.05)
 
     def test_environment_tint_gradient(self, camera):
         scene = make_scene()
 
+        @jax.jit
+        @jax.grad
         def mean_image(tint_scale):
             env = scene.environment._replace(
                 tint=scene.environment.tint * tint_scale)
             return jnp.mean(render_sample(
                 scene._replace(environment=env), camera, W, H, 0, SETTINGS))
 
-        g = jax.grad(mean_image)(1.0)
-        assert float(g) > 0
+        assert float(mean_image(1.0)) > 0
 
 
 class TestGeometryGradients:
@@ -99,15 +110,19 @@ class TestGeometryGradients:
     def test_light_position_gradient_matches_fd(self, camera):
         scene = make_scene()
 
+        @jax.jit
+        @jax.value_and_grad
         def mean_image(dy):
             lights = scene.lights._replace(
                 position=scene.lights.position.at[0, 1].add(dy))
             s = scene._replace(lights=lights)
             return jnp.mean(render_sample(s, camera, W, H, 0, SETTINGS))
 
-        g = float(jax.grad(mean_image)(0.0))
+        _, g = mean_image(0.0)
+        g = float(g)
         eps = 1e-2
-        fd = (float(mean_image(eps)) - float(mean_image(-eps))) / (2 * eps)
+        fd = (float(mean_image(eps)[0])
+              - float(mean_image(-eps)[0])) / (2 * eps)
         assert abs(g) > 1e-6, "light position gradient should be nonzero"
         np.testing.assert_allclose(g, fd, rtol=0.1)
 
@@ -130,17 +145,40 @@ class TestGeometryGradients:
 
 
 class TestInverseRendering:
+    @pytest.mark.slow
+    def test_render_loss_grad_full_scene(self, camera):
+        """The public full-scene gradient API: cotangents reach materials,
+        lights, and environment in one call. Slow tier: the whole-pytree
+        backward compile alone costs ~1 min on CPU; the per-parameter
+        gradients above cover the same estimator cheaply."""
+        from bifrost3d_tpu.diff import render_loss_grad
+        small = RenderSettings(max_bounce_count=1,
+                               shading_models_present=(0,),
+                               next_event_sample_count=1)
+        scene = make_scene()
+        target = jnp.zeros((6, 8, 3))
+        loss, grads = render_loss_grad(
+            scene, camera, target, 8, 6, jnp.uint32(0), small)
+        assert np.isfinite(float(loss))
+        assert np.all(np.isfinite(np.asarray(grads.materials.tint)))
+        assert np.all(np.isfinite(np.asarray(grads.lights.power)))
+        assert abs(float(grads.materials.tint[0].sum())) > 0
+
     def test_recover_tint(self, camera):
-        """Optimize a wrong tint toward a target render (BASELINE config 5)."""
+        """Optimize a wrong tint toward a target render (BASELINE config 5).
+
+        One direct bounce suffices for tint recovery and halves the compile
+        of the jitted train step (the dominant cost on CPU)."""
+        settings = SETTINGS._replace(max_bounce_count=1)
         target_scene = make_scene(tint=(0.8, 0.2, 0.5))
-        target = render_sample(target_scene, camera, W, H, 0, SETTINGS)
+        target = render_sample(target_scene, camera, W, H, 0, settings)
 
         start = make_scene(tint=(0.4, 0.6, 0.3))
         # Same-seed target + fixed samples: the loss has no MC noise floor,
         # so optimization must drive it down hard.
         result = optimize_materials(
             start, camera, target, W, H, steps=16, learning_rate=0.1,
-            vary_samples=False, settings=SETTINGS)
+            vary_samples=False, settings=settings)
         assert result.losses[-1] < 0.25 * result.losses[0], result.losses
         recovered = np.asarray(result.scene.materials.tint[0])
         np.testing.assert_allclose(recovered, [0.8, 0.2, 0.5], atol=0.15)

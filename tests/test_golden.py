@@ -52,14 +52,17 @@ def _render(name, width, height, accumulations, max_bounce=4):
     import jax
     import jax.numpy as jnp
     from bifrost3d_tpu.integrator.path_tracer import (
-        render_sample, settings_for_scene)
+        render_sample_pooled, settings_for_scene)
     from bifrost3d_tpu.post.pipeline import process
     from bifrost3d_tpu.post.tonemap import CameraEffectsSettings
 
     scene, cam = _scene(name)
     settings = settings_for_scene(scene, max_bounce_count=max_bounce)
-    f = jax.jit(lambda n: render_sample(scene, cam, width, height, n,
-                                        settings))
+    # The pooled wavefront is the product path (SimpleBackend et al.);
+    # parity with the dense integrator is separately gated by
+    # test_path_tracer.TestPooledWavefront.
+    f = jax.jit(lambda n: render_sample_pooled(scene, cam, width, height, n,
+                                               settings))
     buf = f(jnp.uint32(0))
     for n in range(1, accumulations):
         buf = buf + (f(jnp.uint32(n)) - buf) / (n + 1.0)
@@ -117,6 +120,30 @@ def test_golden_lowres_material():
 def test_golden_lowres_opacity():
     # Measured: MSSIM 0.85, RMS 0.14.
     _lowres_case("OpacityScene", "OpacityScene_8192.png", 8, 0.70, 0.20)
+
+
+# ---------------------------------------------------------------------------
+# Mid-res tier (default suite): catches shading drift, not just breakage
+# ---------------------------------------------------------------------------
+
+def test_golden_midres_cornell():
+    """192², 32 spp vs the downscaled reference golden — tight enough to
+    catch BSDF/lighting drift that the 96² tier's gross gates let through.
+
+    Measured 2026-08-20 (CPU): MSSIM 0.736, RMS 0.268 at this config;
+    64 spp at 256² only reaches 0.765 (the residual is MC noise vs the
+    8192-spp golden plus LDR-downscale bias), so a 0.80 gate is not
+    attainable in default-tier time — the gate sits just under the
+    measured value instead. Renders through the POOLED product path.
+    """
+    from PIL import Image
+    img = _golden("CornellBox_8192.png")
+    w = 192
+    gold = np.asarray(img.resize((w, w), Image.LANCZOS), np.float32) / 255.0
+    ours = _render("CornellBox", w, w, 32)
+    m, r = _compare(gold, ours)
+    assert m > 0.70, f"CornellBox midres MSSIM {m:.3f} (rms {r:.3f})"
+    assert r < 0.30, f"CornellBox midres RMS {r:.3f} (mssim {m:.3f})"
 
 
 # ---------------------------------------------------------------------------

@@ -321,6 +321,21 @@ class TestPooledWavefront:
             furnace_scene, cam, W, H, 3, settings, pool_size=256))
         np.testing.assert_allclose(pooled, dense, atol=1e-6)
 
+    def test_octant_sorted_pool_matches_unsorted(self, furnace_scene):
+        """Ray sorting only permutes lanes — each pixel's sample chain is
+        keyed by (accumulation, pixel_hash), so the sorted pool renders the
+        identical image."""
+        from bifrost3d_tpu.integrator.path_tracer import render_sample_pooled
+
+        cam = perspective_camera(eye=(0, 0, 2.0), target=(0, 0, 0))
+        plain = RenderSettings(max_bounce_count=4)
+        sort = plain._replace(sort_rays_every=1)
+        unsorted = np.asarray(render_sample_pooled(
+            furnace_scene, cam, W, H, 3, plain, pool_size=256))
+        sorted_ = np.asarray(render_sample_pooled(
+            furnace_scene, cam, W, H, 3, sort, pool_size=256))
+        np.testing.assert_array_equal(sorted_, unsorted)
+
     def test_pooled_matches_dense_with_lights_and_mesh(self):
         from bifrost3d_tpu.integrator.path_tracer import render_sample_pooled
 
