@@ -11,3 +11,7 @@ from bifrost3d_tpu.diff.render_grad import (
     image_l2_loss,
     optimize_materials,
 )
+from bifrost3d_tpu.diff.mesh_edge_grad import (
+    MeshEdges,
+    edge_translation_gradient,
+)

@@ -277,12 +277,53 @@ def _selftest_worker(coordinator: str, num_processes: int, process_id: int,
         lambda rows: jax.lax.psum(jnp.sum(rows), TILE_AXIS)))(img)
     np.testing.assert_allclose(float(total), full.sum(), rtol=1e-5)
 
+    # Cross-process sharded TRAIN-STEP gradient (the north-star inverse
+    # rendering workload): every process renders its rows, takes the local
+    # gradient, and the psum all-reduce across ALL processes' devices must
+    # reproduce the single-process gradient.
+    from bifrost3d_tpu.integrator.smallpt import render_smallpt_pixels
+    from bifrost3d_tpu.parallel.mesh import pad_to_multiple
+
+    padded_h = pad_to_multiple(height, mesh.devices.size)
+    lo, hi = shard_rows_local(mesh, padded_h)
+    y_loc = np.broadcast_to(
+        np.arange(lo, hi, dtype=np.uint32)[:, None], (hi - lo, width))
+    x_loc = np.broadcast_to(
+        np.arange(width, dtype=np.uint32)[None, :], (hi - lo, width))
+    x_all = make_global_rows(mesh, x_loc, padded_h)
+    y_all = make_global_rows(mesh, y_loc, padded_h)
+    denom = float(width * height * 3)
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(TILE_AXIS), P(TILE_AXIS)), out_specs=P(),
+             check_vma=False)
+    def grad_shard(color, xs, ys):
+        def local(c):
+            im = render_smallpt_pixels(
+                scene._replace(color=c), xs, ys, width, height,
+                jnp.uint32(1))
+            in_image = (ys < height)[..., None]
+            return jnp.sum(jnp.where(in_image, jnp.square(im), 0.0))
+        return jax.lax.psum(jax.grad(local)(color), TILE_AXIS) / denom
+
+    g_global = np.asarray(grad_shard(scene.color, x_all, y_all))
+    assert np.all(np.isfinite(g_global))
+
     if process_id == 0:
         from bifrost3d_tpu.integrator.smallpt import (
             render_smallpt_accumulation)
         single = np.asarray(
             render_smallpt_accumulation(scene, width, height, 1))
         np.testing.assert_allclose(full, single, rtol=1e-5, atol=1e-5)
+
+        def full_loss(color):
+            im = render_smallpt_accumulation(
+                scene._replace(color=color), width, height, 1)
+            return jnp.mean(jnp.square(im))
+
+        g_ref = np.asarray(jax.grad(full_loss)(scene.color))
+        np.testing.assert_allclose(g_global, g_ref, atol=1e-5, rtol=2e-3)
         print("DISTRIBUTED_SELFTEST_OK", flush=True)
 
 

@@ -12,7 +12,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from bifrost3d_tpu.math.transform import Transform, transform_look_at
+from bifrost3d_tpu.math.transform import (
+    Transform, transform_inverse, transform_look_at, transform_point)
 from bifrost3d_tpu.math.quaternion import quat_rotate
 from bifrost3d_tpu.math.vec import normalize
 from bifrost3d_tpu.utils.hostbuild import host_build
@@ -97,6 +98,24 @@ def camera_ray_directions(camera: PinholeCamera, viewport_points):
     origin = t.translation + quat_rotate(t.rotation, ray_near * t.scale)
     direction = quat_rotate(t.rotation, dir_view)
     return origin, direction
+
+
+def project_to_screen(camera: PinholeCamera, point):
+    """World point [..., 3] → (uv [..., 2] in [0,1]², w [...]).
+
+    The exact inverse of :func:`camera_ray_directions` (``w`` > 0 means in
+    front of the camera — the clip-space w, positive along the +Z view
+    axis). Differentiable in ``point``: the edge-sampled geometry-gradient
+    estimator (diff/mesh_edge_grad.py) takes its screen-space edge
+    velocities through this function with jax.jacfwd.
+    """
+    view = transform_point(transform_inverse(camera.transform), point)
+    v4 = jnp.concatenate([view, jnp.ones(view.shape[:-1] + (1,))], axis=-1)
+    clip = v4 @ camera.projection.T
+    w = clip[..., 3]
+    safe_w = jnp.where(jnp.abs(w) < 1e-9, 1e-9, w)
+    ndc = clip[..., :2] / safe_w[..., None]
+    return (ndc + 1.0) * 0.5, w
 
 
 def camera_rays(camera: PinholeCamera, width: int, height: int, jitter=None):

@@ -126,6 +126,68 @@ class TestGeometryGradients:
         assert abs(g) > 1e-6, "light position gradient should be nonzero"
         np.testing.assert_allclose(g, fd, rtol=0.1)
 
+    def test_mesh_box_translation_gradient_matches_fd(self, camera):
+        """MESH geometry gradient, first slice (SURVEY §7.2 step 7): the
+        silhouette-edge-sampled boundary term for translating a box in a
+        mesh Cornell-style scene matches finite differences of the
+        deterministic first-hit forward. The interior (pathwise) term is
+        zero here — per-object-constant tints make the image purely
+        visibility-driven, isolating the boundary estimator."""
+        from bifrost3d_tpu.diff.mesh_edge_grad import (
+            MeshEdges, edge_translation_gradient)
+        from bifrost3d_tpu.geometry import make_box
+        from bifrost3d_tpu.geometry.traverse import (
+            intersect_triangles_brute)
+        from bifrost3d_tpu.scene.camera import camera_ray_directions
+
+        box = make_box(size=0.8)
+        floor = make_plane(size=6.0)
+        # Box floats above the floor: resting contact puts a kink in
+        # M(t_y) at t_y = 0.4 (one-sided derivatives differ), which FD
+        # would straddle.
+        base = jnp.asarray([0.05, 0.62, 0.0], jnp.float32)
+        tints = jnp.asarray([0.2, 0.55], jnp.float32)  # floor, box (mean)
+
+        floor_tris = jnp.asarray(
+            np.asarray(floor.positions)[np.asarray(floor.indices)],
+            jnp.float32)
+        box_tris_obj = jnp.asarray(
+            np.asarray(box.positions)[np.asarray(box.indices)], jnp.float32)
+        n_floor = floor_tris.shape[0]
+
+        def first_hit_tint(t):
+            def fn(origin, direction):
+                tris = jnp.concatenate(
+                    [floor_tris, box_tris_obj + t], axis=0)
+                hit = intersect_triangles_brute(
+                    tris, origin, direction, 1e-4, jnp.inf)
+                tint = tints[(hit.prim >= n_floor).astype(jnp.int32)]
+                return jnp.where(hit.prim >= 0, tint, 0.0)
+            return fn
+
+        cam = perspective_camera(eye=(1.3, 1.5, 2.4), target=(0, 0.3, 0))
+        m = 384   # forward grid: FD quantization ~ grid spacing / step
+        u = (jnp.arange(m, dtype=jnp.float32) + 0.5) / m
+        uu, vv = jnp.meshgrid(u, u)
+        grid = jnp.stack([uu.reshape(-1), vv.reshape(-1)], axis=-1)
+        o_grid, d_grid = camera_ray_directions(cam, grid)
+
+        @jax.jit
+        def forward(t):
+            return jnp.mean(first_hit_tint(t)(o_grid, d_grid))
+
+        edges = MeshEdges.build(box.positions, box.indices)
+        g = np.asarray(edge_translation_gradient(
+            cam, edges, base, first_hit_tint(base),
+            samples_per_edge=64, edge_eps=1e-3))
+        assert np.all(np.isfinite(g)) and np.max(np.abs(g)) > 1e-3, g
+
+        h = 0.06
+        for axis, rtol in ((0, 0.12), (1, 0.12)):
+            e = jnp.zeros(3).at[axis].set(h)
+            fd = float((forward(base + e) - forward(base - e)) / (2 * h))
+            np.testing.assert_allclose(g[axis], fd, rtol=rtol, atol=2e-4)
+
     def test_smallpt_gradients_are_finite(self):
         """The SmallPT estimator's pathwise position gradient is finite
         (no masked-lane NaN leaks through miss-lane inf t or TIR sqrt).
