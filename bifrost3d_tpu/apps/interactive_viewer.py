@@ -185,6 +185,172 @@ class CameraNavigation:
 
 
 # ---------------------------------------------------------------------------
+# Rendering settings panel (the ImGui RenderingGUI analogue)
+# ---------------------------------------------------------------------------
+
+class RenderingPanel:
+    """Live renderer-settings surface — the terminal analogue of the
+    reference's ImGui ``RenderingGUI`` (apps/SimpleViewer/GUI/
+    RenderingGUI.cpp): renderer/backend selection, bounce count, NEE sample
+    count, path regularization, and the camera-effects chain (exposure
+    mode/bias, tonemapper, bloom, vignette, film grain) — adjusted live,
+    with the same consequence as the reference: any render-settings change
+    restarts that camera's progressive accumulation.
+
+    Keys: 'g' opens/closes, up/down select a row, left/right adjust.
+    """
+
+    def __init__(self, data, comp, cam, renderer_ids):
+        self.open = False
+        self.row = 0
+        self.data, self.comp, self.cam = data, comp, cam
+        self.renderer_ids = renderer_ids
+
+    # -- handles ----------------------------------------------------------
+    def _backend(self):
+        return self.comp._backends.get(
+            (int(self.cam), self.data.cameras.get_renderer(self.cam)))
+
+    def _settings(self):
+        b = self._backend()
+        return getattr(b, "settings", None)
+
+    def _set_setting(self, **kw):
+        b = self._backend()
+        if b is not None and hasattr(b, "settings"):
+            b.settings = b.settings._replace(**kw)
+            b.reset()   # render-settings change restarts accumulation
+
+    def _effects(self):
+        from bifrost3d_tpu.post.pipeline import CameraEffectsSettings
+        return self.comp.camera_effects.get(
+            int(self.cam), CameraEffectsSettings.preset())
+
+    def _set_effects(self, **kw):
+        self.comp.set_camera_effects(self.cam,
+                                     self._effects()._replace(**kw))
+
+    def _adjust_bloom(self, d):
+        """left lowers the threshold (more bloom), right raises it; past
+        4.0 it becomes inf = off (the reference's convention: bloom is
+        active when threshold < inf)."""
+        cur = self._effects().bloom_threshold
+        if not np.isfinite(cur):
+            new = 4.0 if d < 0 else np.inf
+        else:
+            new = cur + 0.5 * d
+            new = np.inf if new > 4.0 else max(0.5, new)
+        self._set_effects(bloom_threshold=float(new))
+
+    # -- rows ---------------------------------------------------------------
+    def _rows(self):
+        from bifrost3d_tpu.post.tonemap import (
+            EXPOSURE_FIXED, EXPOSURE_HISTOGRAM, EXPOSURE_LOG_AVERAGE,
+            TONEMAP_AGX, TONEMAP_FILMIC, TONEMAP_KHRONOS_NEUTRAL,
+            TONEMAP_LINEAR)
+
+        exposure_names = {EXPOSURE_FIXED: "fixed",
+                          EXPOSURE_LOG_AVERAGE: "log-average",
+                          EXPOSURE_HISTOGRAM: "histogram"}
+        tonemap_names = {TONEMAP_LINEAR: "linear", TONEMAP_FILMIC: "filmic",
+                         TONEMAP_AGX: "AgX",
+                         TONEMAP_KHRONOS_NEUTRAL: "Khronos PBR"}
+
+        def cycle(names, current, d):
+            keys = sorted(names)
+            return keys[(keys.index(current) + d) % len(keys)]
+
+        def renderer_row():
+            current = self.data.cameras.get_renderer(self.cam)
+            ids = [rid for _, rid in self.renderer_ids]
+            names = {rid: name for name, rid in self.renderer_ids}
+
+            def adjust(d):
+                nxt = ids[(ids.index(current) + d) % len(ids)]
+                self.data.cameras.set_renderer(self.cam, nxt)
+
+            return f"renderer: {names.get(current, '?')}", adjust
+
+        rows = [renderer_row()]
+        s = self._settings()
+        if s is not None:
+            rows += [
+                (f"max bounces: {s.max_bounce_count}",
+                 lambda d: self._set_setting(max_bounce_count=int(
+                     np.clip(self._settings().max_bounce_count + d, 0, 16)))),
+                (f"NEE samples (RIS): {s.next_event_sample_count}",
+                 lambda d: self._set_setting(next_event_sample_count=int(
+                     np.clip(self._settings().next_event_sample_count + d,
+                             0, 8)))),
+                (f"path reg. scale: {s.path_regularization_scale:.2f}",
+                 lambda d: self._set_setting(path_regularization_scale=float(
+                     max(0.0,
+                         self._settings().path_regularization_scale
+                         + 0.5 * d)))),
+                (f"path reg. decay: {s.path_regularization_decay:.2f}",
+                 lambda d: self._set_setting(path_regularization_decay=float(
+                     np.clip(self._settings().path_regularization_decay
+                             + 0.05 * d, 0.0, 1.0)))),
+            ]
+        e = self._effects()
+        rows += [
+            (f"exposure mode: {exposure_names[e.exposure_mode]}",
+             lambda d: self._set_effects(exposure_mode=cycle(
+                 exposure_names, self._effects().exposure_mode, d))),
+            (f"exposure bias: {e.log_luminance_bias:+.2f}",
+             lambda d: self._set_effects(log_luminance_bias=float(
+                 self._effects().log_luminance_bias + 0.25 * d))),
+            (f"tonemapper: {tonemap_names[e.tonemapping_mode]}",
+             lambda d: self._set_effects(tonemapping_mode=cycle(
+                 tonemap_names, self._effects().tonemapping_mode, d))),
+            (f"bloom threshold: "
+             + ("off" if not np.isfinite(e.bloom_threshold)
+                else f"{e.bloom_threshold:.1f}"),
+             self._adjust_bloom),
+            (f"vignette: {e.vignette:.2f}",
+             lambda d: self._set_effects(vignette=float(
+                 np.clip(self._effects().vignette + 0.05 * d, 0.0, 1.0)))),
+            ("film grain: "
+             + ("on" if e.film_grain > 0 else "off"),
+             lambda d: self._set_effects(
+                 film_grain=0.0 if self._effects().film_grain > 0
+                 else 1.0 / 255.0)),
+        ]
+        return rows
+
+    # -- input / drawing ----------------------------------------------------
+    def handle(self, key: str) -> bool:
+        """Consume a key when the panel owns it; returns True if consumed."""
+        if key == "g":
+            self.open = not self.open
+            return True
+        if not self.open:
+            return False
+        rows = self._rows()
+        if key == "up":
+            self.row = (self.row - 1) % len(rows)
+        elif key == "down":
+            self.row = (self.row + 1) % len(rows)
+        elif key in ("left", "right"):
+            rows[self.row][1](1 if key == "right" else -1)
+        elif key == "esc":
+            self.open = False
+        else:
+            return False
+        return True
+
+    def lines(self):
+        if not self.open:
+            return []
+        out = ["--- rendering settings (g close, up/down select, "
+               "left/right adjust) ---"]
+        for i, (label, _) in enumerate(self._rows()):
+            marker = ">" if i == self.row else " "
+            out.append(f" {marker} {label}")
+        return out
+
+
+# ---------------------------------------------------------------------------
 # Built-in datamodel scenes (live-mutable, unlike apps.scenes RenderScenes)
 # ---------------------------------------------------------------------------
 
@@ -245,7 +411,7 @@ def build_scene(name: str):
 def run(scene_name="Sphere", width=96, height=54, ticks=None,
         scripted_keys="", display=None, screenshot_path=None,
         max_bounce=3):
-    from bifrost3d_tpu.integrator.backend import SimpleBackend
+    from bifrost3d_tpu.integrator.backend import DenoisedBackend, SimpleBackend
     from bifrost3d_tpu.integrator.path_tracer import RenderSettings
     from bifrost3d_tpu.preview.renderer import PreviewBackend
 
@@ -261,9 +427,14 @@ def run(scene_name="Sphere", width=96, height=54, ticks=None,
     pv_id = comp.add_renderer(
         "Preview", lambda scene, camera, w, h: PreviewBackend(
             scene, camera, w, h, enable_ssao=False))
+    dn_id = comp.add_renderer(
+        "Denoised", lambda scene, camera, w, h: DenoisedBackend(
+            scene, camera, w, h, RenderSettings(max_bounce_count=max_bounce)))
     data.cameras.set_renderer(cam, pt_id)
 
     nav = CameraNavigation(data, cam)
+    panel = RenderingPanel(data, comp, cam, [
+        ("PathTracer", pt_id), ("Preview", pv_id), ("Denoised", dn_id)])
     if display is None:
         display = sys.stdout.isatty()
     term = TerminalDisplay(display)
@@ -275,10 +446,14 @@ def run(scene_name="Sphere", width=96, height=54, ticks=None,
         dt = engine.time.delta
         keys = list(term_input.poll()) if term_input else []
         if scripted:
-            keys.append(scripted.pop(0))
+            k = scripted.pop(0)
+            if k:       # "" = scripted no-op tick
+                keys.append(k)
         for k in keys:
-            if k in ("q", "esc"):
+            if k == "q" or (k == "esc" and not panel.open):
                 engine.request_quit()
+            elif panel.handle(k):
+                pass    # settings panel consumed the key (RenderingGUI)
             elif k == "p":
                 # SimpleViewer main.cpp:285-291 renderer toggle.
                 current = data.cameras.get_renderer(cam)
@@ -312,8 +487,13 @@ def run(scene_name="Sphere", width=96, height=54, ticks=None,
         name = comp.renderers.get_name(data.cameras.get_renderer(cam))
         window.set_name(f"bifrost3d_tpu | {name} | {fps:5.1f} fps | "
                         f"{accum} spp")
-        term.present(frame, window.name
-                     + " | WASD move, arrows turn, P toggle, X shot, Q quit")
+        status = (window.name
+                  + " | WASD move, arrows turn, P toggle, G settings, "
+                    "X shot, Q quit")
+        panel_text = panel.lines()
+        if panel_text:
+            status += "\n" + "\n\x1b[K".join(panel_text)
+        term.present(frame, status)
 
     def on_cleanup(engine):
         data.reset_change_notifications()

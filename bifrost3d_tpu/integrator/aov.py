@@ -20,7 +20,7 @@ from bifrost3d_tpu.math.morton import morton_encode_2d
 from bifrost3d_tpu.math.vec import dot, normalize, to_local
 from bifrost3d_tpu.sampling.hashes import reverse_bits
 from bifrost3d_tpu.scene.camera import PinholeCamera, camera_rays
-from bifrost3d_tpu.scene.render_scene import RenderScene
+from bifrost3d_tpu.scene.render_scene import RenderScene, corner_normals
 
 
 @partial(jax.jit, static_argnames=("width", "height"))
@@ -38,7 +38,7 @@ def render_aovs(scene: RenderScene, camera: PinholeCamera,
     mask = hit.mask
     prim = jnp.maximum(hit.prim, 0)
     v = scene.tri_verts[prim]
-    n = scene.tri_normals[prim]
+    n = corner_normals(scene, prim)
     mat_idx = scene.tri_material[prim]
     bary = jnp.stack([1.0 - hit.u - hit.v, hit.u, hit.v], axis=-1)
     shading_normal = normalize(jnp.einsum("rk,rkc->rc", bary, n))

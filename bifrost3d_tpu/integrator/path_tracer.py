@@ -44,7 +44,7 @@ from bifrost3d_tpu.scene.materials import (
     SHADING_DIFFUSE,
     SHADING_TRANSMISSIVE,
 )
-from bifrost3d_tpu.scene.render_scene import RenderScene
+from bifrost3d_tpu.scene.render_scene import RenderScene, corner_normals
 from bifrost3d_tpu.shading.default_shading import DefaultShading
 from bifrost3d_tpu.shading.diffuse_shading import DiffuseShading
 from bifrost3d_tpu.shading.transmissive_shading import TransmissiveShading
@@ -537,7 +537,7 @@ def _wavefront_step(scene: RenderScene, settings: RenderSettings,
     # --- mesh hit shading ---
     prim = jnp.maximum(hit.prim, 0)
     v = scene.tri_verts[prim]
-    n = scene.tri_normals[prim]
+    n = corner_normals(scene, prim)
     uv = scene.tri_uvs[prim]
     mat_idx = scene.tri_material[prim]
     bary = jnp.stack([1.0 - hit.u - hit.v, hit.u, hit.v], axis=-1)

@@ -22,7 +22,7 @@ from bifrost3d_tpu.math.quaternion import quat_conjugate, quat_rotate
 from bifrost3d_tpu.math.vec import dot, normalize, reflect
 from bifrost3d_tpu.sampling.distributions import INV_PI
 from bifrost3d_tpu.scene.camera import PinholeCamera, camera_rays
-from bifrost3d_tpu.scene.render_scene import RenderScene
+from bifrost3d_tpu.scene.render_scene import RenderScene, corner_normals
 from bifrost3d_tpu.shading.fittings import sample_ggx_rho, sample_ggx_with_fresnel_rho
 
 
@@ -95,7 +95,7 @@ def render_preview(scene: RenderScene, camera: PinholeCamera,
     mask = hit.mask
     prim = jnp.maximum(hit.prim, 0)
     v = scene.tri_verts[prim]
-    n = scene.tri_normals[prim]
+    n = corner_normals(scene, prim)
     mat_idx = scene.tri_material[prim]
     bary = jnp.stack([1.0 - hit.u - hit.v, hit.u, hit.v], axis=-1)
     position = jnp.einsum("rk,rkc->rc", bary, v)

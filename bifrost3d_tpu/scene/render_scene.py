@@ -30,7 +30,11 @@ from bifrost3d_tpu.utils.hostbuild import host_build
 class RenderScene(NamedTuple):
     # Flattened world-space triangle soup (positions gathered per corner).
     tri_verts: jnp.ndarray     # [t, 3, 3]
-    tri_normals: jnp.ndarray   # [t, 3, 3] shading normals per corner
+    # Shading normals per corner, OCTAHEDRAL-ENCODED int16 [t, 3, 2] — the
+    # reference stores vertex normals the same way (Types.h:116-119,
+    # OctahedralNormal.h); decode happens in the attribute-interpolation
+    # stage (surface_normals). Halves normal HBM traffic vs f32x3.
+    tri_normals_oct: jnp.ndarray
     tri_uvs: jnp.ndarray       # [t, 3, 2]
     tri_tint_roughness: jnp.ndarray  # [t, 3, 4] per-vertex (tint rgb, roughness) scale
     tri_material: jnp.ndarray  # [t] int32
@@ -114,9 +118,11 @@ def build_render_scene(instances, materials: MaterialArray,
     extent = float(np.max(flat_pos.max(axis=0) - flat_pos.min(axis=0))) \
         if flat_pos.size else 1.0
 
+    from bifrost3d_tpu.math.octahedral import octahedral_encode
+
     return RenderScene(
         tri_verts=jnp.asarray(tri_verts),
-        tri_normals=jnp.asarray(tri_normals),
+        tri_normals_oct=octahedral_encode(_safe_unit(tri_normals)),
         tri_uvs=jnp.asarray(tri_uvs),
         tri_tint_roughness=jnp.asarray(tri_tr),
         tri_material=jnp.asarray(tri_material),
@@ -131,6 +137,22 @@ def build_render_scene(instances, materials: MaterialArray,
         tri_clustered=_packed_clusters(tri_verts, bvh),
         environment_presampled=env_pool,
     )
+
+
+def _safe_unit(n: np.ndarray) -> np.ndarray:
+    """Normalize host-side; degenerate (zero) normals become +Z so the
+    octahedral encode stays NaN-free."""
+    norm = np.linalg.norm(n, axis=-1, keepdims=True)
+    unit = np.divide(n, norm, out=np.zeros_like(n), where=norm > 1e-20)
+    unit[..., 2] = np.where(norm[..., 0] > 1e-20, unit[..., 2], 1.0)
+    return unit
+
+
+def corner_normals(scene: RenderScene, prim):
+    """Decoded per-corner shading normals [..., 3, 3] of triangles ``prim``
+    (the attribute-interpolation decode, Types.h:58-70)."""
+    from bifrost3d_tpu.math.octahedral import octahedral_decode
+    return octahedral_decode(scene.tri_normals_oct[prim])
 
 
 def _packed_components(tri_verts) -> jnp.ndarray:

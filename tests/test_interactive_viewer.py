@@ -27,6 +27,32 @@ def test_scripted_session_toggles_and_moves(tmp_path):
     assert shot.exists()
 
 
+def test_settings_panel_adjusts_renderer_live(tmp_path):
+    """The RenderingGUI analogue: 'g' opens the panel, down selects the
+    max-bounce row, right increments it — the backend's RenderSettings
+    change and its progressive accumulation restarts (RenderingGUI.cpp
+    behavior)."""
+    from bifrost3d_tpu.apps.interactive_viewer import RenderingPanel
+
+    keys = ["", "", "g", "down", "right", "g", "", ""]
+    frames, data, comp = run(
+        scene_name="Sphere", width=16, height=12, ticks=len(keys) + 1,
+        scripted_keys=keys, display=False, max_bounce=1)
+    cam = next(iter(data.cameras))
+    backend = comp._backends[(int(cam), data.cameras.get_renderer(cam))]
+    assert backend.settings.max_bounce_count == 2      # 1 + one 'right'
+    # Accumulation restarted on the settings change, then kept counting.
+    assert 0 < backend.accumulations < len(keys) + 1
+    assert np.isfinite(np.asarray(frames[int(cam)])).all()
+
+    # Panel text renders rows with the selection marker.
+    panel = RenderingPanel(data, comp, cam, [("PathTracer", 0)])
+    panel.open = True
+    lines = panel.lines()
+    assert any("max bounces" in ln for ln in lines)
+    assert any(ln.lstrip().startswith(">") for ln in lines)
+
+
 def test_frame_to_ansi_halfblocks():
     img = np.zeros((4, 3, 3), np.float32)
     img[0, 0] = (1.0, 0.0, 0.0)

@@ -36,6 +36,21 @@ def furnace_scene():
         mats, environment_map=env)
 
 
+def test_render_scene_stores_octahedral_normals(furnace_scene):
+    """RenderScene carries int16 oct-encoded corner normals (Types.h:116-119)
+    and the attribute-stage decode reproduces the mesh's unit normals."""
+    from bifrost3d_tpu.scene.render_scene import corner_normals
+
+    assert furnace_scene.tri_normals_oct.dtype == jnp.int16
+    assert furnace_scene.tri_normals_oct.shape[-1] == 2
+    mesh = make_sphere(radius=0.5, slices=48, stacks=24)
+    expected = np.asarray(mesh.normals)[np.asarray(mesh.indices)]
+    expected /= np.linalg.norm(expected, axis=-1, keepdims=True)
+    decoded = np.asarray(corner_normals(
+        furnace_scene, jnp.arange(furnace_scene.tri_verts.shape[0])))
+    np.testing.assert_allclose(decoded, expected, atol=2e-4)
+
+
 class TestFurnace:
     def test_white_sphere_vanishes_in_uniform_environment(self, furnace_scene):
         """Albedo-1 diffuse surface under uniform env L: every pixel == L.
