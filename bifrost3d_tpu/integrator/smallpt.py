@@ -104,11 +104,14 @@ def _bounce(scene: SphereScene, state, depth):
     # Russian roulette after RR_START_DEPTH bounces (smallpt.h:79-81).
     # depth counts completed bounces; the reference increments before
     # testing, so RR applies when (depth + 1) > 5.
+    # rr_on is a scalar under the dense fori loop and a per-lane array in
+    # the pooled wavefront (lanes spawn at different iterations).
     rr_on = jnp.asarray(depth + 1 > RR_START_DEPTH)
     rng_rr, u_rr = lcg_next(rng)
     rng = jnp.where(rr_on & live, rng_rr, rng)
     survive = jnp.where(rr_on, u_rr < max_refl, True)
-    f = jnp.where(rr_on, f / jnp.maximum(max_refl, 1e-6)[..., None], f)
+    f = jnp.where(rr_on[..., None],
+                  f / jnp.maximum(max_refl, 1e-6)[..., None], f)
     live = live & survive
 
     # --- Diffuse: cosine hemisphere sample (2 rng draws) ---
@@ -188,17 +191,12 @@ def smallpt_camera_ray(u, v, width: int, height: int):
     return cam_o + d * 140.0, normalize(d)
 
 
-def render_smallpt_pixels(scene: SphereScene, x, y, width: int, height: int,
-                          accumulation) -> jnp.ndarray:
-    """Render one progressive sample for pixel coords ``x``/``y`` (uint32,
-    any broadcastable shape) → radiance [..., 3].
-
-    This is the shardable core: pixel indices are data, so a device mesh can
-    shard rows/tiles over chips while the scene stays replicated
-    (SURVEY.md §2.8 ray/tile data parallelism).
-    """
+def _initial_lane_state(x, y, width: int, height: int, accumulation):
+    """Per-pixel initial bounce state (camera ray, RNG chain seeded by
+    jenkins(pixel-subsample index) ^ reverse_bits(frame), smallpt.h:132-138).
+    Shared by the dense grid renderer and the pooled wavefront so both walk
+    IDENTICAL per-pixel sample chains."""
     accumulation = jnp.asarray(accumulation, jnp.uint32)
-
     sx = accumulation % 2
     sy = (accumulation >> jnp.uint32(1)) % 2
     index = (y * 2 + sy) * (width * 2) + x * 2 + sx
@@ -216,22 +214,114 @@ def render_smallpt_pixels(scene: SphereScene, x, y, width: int, height: int,
          + 0.0)  # continuous image coordinate in [0, 1)
     v = ((syf + 0.5 + dy) / 2.0 + yf) / height
     origin, direction = smallpt_camera_ray(u, v, width, height)
-
-    # Derive the initial carry from the (possibly mesh-varying) inputs so
-    # the fori_loop carry type is stable under shard_map.
-    state = (
+    return (
         origin, direction,
         jnp.ones_like(origin),
         jnp.zeros_like(origin),
         rng,
         jnp.isfinite(origin[..., 0]),
     )
+
+
+def render_smallpt_pixels(scene: SphereScene, x, y, width: int, height: int,
+                          accumulation) -> jnp.ndarray:
+    """Render one progressive sample for pixel coords ``x``/``y`` (uint32,
+    any broadcastable shape) → radiance [..., 3].
+
+    This is the shardable core: pixel indices are data, so a device mesh can
+    shard rows/tiles over chips while the scene stays replicated
+    (SURVEY.md §2.8 ray/tile data parallelism).
+    """
+    state = _initial_lane_state(x, y, width, height, accumulation)
     # Bounce loop as lax.fori_loop: the body compiles once (fast compile),
     # masks handle early termination — the wavefront analogue of the
     # reference's per-thread do/while (SimpleRGPs.cu:133-137).
     state = jax.lax.fori_loop(
         0, MAX_DEPTH, lambda d, s: _bounce(scene, s, d), state)
     return state[3]
+
+
+def render_smallpt_pooled_counted(scene: SphereScene, width: int,
+                                  height: int, accumulation,
+                                  pool_size: int = 131072):
+    """Pooled compacting wavefront over the SmallPT estimator →
+    (radiance [height·width, 3], live-ray tally [] uint32).
+
+    Identical per-pixel sample chains to the dense renderer (same seeding,
+    same RNG consumption — parity-tested), but terminated lanes are refilled
+    with fresh camera rays immediately, so no lane idles through the dense
+    version's fixed MAX_DEPTH iterations (~6.5 of 20 live on the Cornell
+    scene — a ~3× wall-clock win at the same estimator).
+    """
+    accumulation = jnp.asarray(accumulation, jnp.uint32)
+    n_pixels = width * height
+    r = min(pool_size, n_pixels)
+
+    def spawn(pixel_idx):
+        valid = pixel_idx < n_pixels
+        safe = jnp.minimum(pixel_idx, n_pixels - 1)
+        x = (safe % width).astype(jnp.uint32)
+        y = (safe // width).astype(jnp.uint32)
+        o, d, thr, rad, rng, alive = _initial_lane_state(
+            x, y, width, height, accumulation)
+        return (o, d, thr, rad, rng, alive & valid)
+
+    pixel_idx0 = jnp.arange(r, dtype=jnp.int32)
+    state0 = spawn(pixel_idx0)
+    depth0 = jnp.zeros(r, jnp.int32)
+    accum0 = jnp.zeros((n_pixels, 3), jnp.float32)
+    max_iters = (n_pixels // r + 1) * MAX_DEPTH * 2 + 64
+
+    def cond(carry):
+        state, depth, pixel_idx, accum, next_pixel, it, rays = carry
+        return (jnp.any(state[5]) | (next_pixel < n_pixels)) \
+            & (it < max_iters)
+
+    def body(carry):
+        state, depth, pixel_idx, accum, next_pixel, it, rays = carry
+        rays = rays + jnp.sum(state[5].astype(jnp.uint32))
+        state = _bounce(scene, state, depth)
+        depth = depth + 1
+        o, d, thr, rad, rng, live = state
+        live = live & (depth < MAX_DEPTH)   # the dense loop's hard cap
+        valid = pixel_idx < n_pixels
+        done = valid & ~live
+
+        accum = accum.at[jnp.clip(pixel_idx, 0, n_pixels - 1)].add(
+            jnp.where(done[..., None], rad, 0.0))
+
+        slot = jnp.cumsum(done.astype(jnp.int32)) - 1
+        new_idx = next_pixel + slot
+        refill = done & (new_idx < n_pixels)
+        pixel_idx = jnp.where(refill, new_idx,
+                              jnp.where(done, n_pixels, pixel_idx))
+        next_pixel = jnp.minimum(
+            next_pixel + jnp.sum(done.astype(jnp.int32)), n_pixels)
+
+        fresh = spawn(pixel_idx)
+        state = tuple(
+            jnp.where(refill.reshape(refill.shape + (1,) * (f.ndim - 1)),
+                      f, s)
+            for f, s in zip(fresh, (o, d, thr, rad, rng, live)))
+        depth = jnp.where(refill, 0, depth)
+        return state, depth, pixel_idx, accum, next_pixel, it + 1, rays
+
+    _, _, _, accum, _, _, rays = jax.lax.while_loop(
+        cond, body,
+        (state0, depth0, pixel_idx0, accum0, jnp.int32(r), jnp.int32(0),
+         jnp.uint32(0)))
+    return accum, rays
+
+
+@partial(jax.jit, static_argnames=("width", "height", "pool_size"))
+def render_smallpt_pooled(scene: SphereScene, width: int, height: int,
+                          accumulation, pool_size: int = 131072):
+    """One progressive SmallPT frame through the pooled wavefront →
+    radiance [height, width, 3] (bit-identical chains to
+    :func:`render_smallpt_accumulation`)."""
+    accum, _ = render_smallpt_pooled_counted(
+        scene, width, height, accumulation, pool_size)
+    return accum.reshape(height, width, 3)
 
 
 @partial(jax.jit, static_argnames=("width", "height"))

@@ -105,3 +105,18 @@ class TestDeterminism:
         a = np.asarray(render_smallpt_accumulation(scene, 32, 24, 1))
         b = np.asarray(render_smallpt_accumulation(scene, 32, 24, 2))
         assert not np.array_equal(a, b)
+
+
+class TestPooledSmallpt:
+    def test_pooled_matches_dense(self):
+        """The compacting pool walks identical per-pixel sample chains —
+        images are bitwise equal to the dense fixed-iteration renderer."""
+        from bifrost3d_tpu.integrator.smallpt import render_smallpt_pooled
+
+        scene = smallpt_scene()
+        for n in (1, 3):
+            dense = np.asarray(render_smallpt_accumulation(scene, 48, 36, n))
+            # Pool smaller than the pixel count forces many refill rounds.
+            pooled = np.asarray(render_smallpt_pooled(
+                scene, 48, 36, n, pool_size=256))
+            np.testing.assert_array_equal(pooled, dense)
