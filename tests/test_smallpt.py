@@ -107,6 +107,47 @@ class TestDeterminism:
         assert not np.array_equal(a, b)
 
 
+class TestMegakernel:
+    def test_megakernel_matches_wavefront(self):
+        """The Pallas megakernel walks the same LCG sample chains as the
+        jnp wavefront. Hand-written f32 op order can flip a grazing
+        intersection or RR draw on rare chaotic paths (different but
+        equally valid sample realizations), so the gate is: almost all
+        pixels agree to f32 noise, and image means agree tightly."""
+        from bifrost3d_tpu.integrator.pallas_smallpt import (
+            render_smallpt_megakernel)
+
+        scene = smallpt_scene()
+        dense = np.asarray(render_smallpt_accumulation(scene, 32, 24, 1))
+        mega = np.asarray(render_smallpt_megakernel(
+            scene, 32, 24, jnp.uint32(1), interpret=True))
+        per_pixel = np.abs(dense - mega).max(axis=-1)
+        assert (per_pixel > 1e-4).mean() < 0.02, per_pixel.max()
+        np.testing.assert_allclose(mega.mean(), dense.mean(), rtol=0.02)
+
+    def test_smallpt_app_renders(self, tmp_path):
+        """The SmallPT app (reference apps/SmallPT analogue) renders a PNG
+        through the progressive loop (jnp path on CPU)."""
+        from bifrost3d_tpu.apps.smallpt_app import main
+
+        out = tmp_path / "sp.png"
+        assert main(["--width", "32", "--height", "24", "-n", "2",
+                     "-o", str(out)]) == 0
+        assert out.exists()
+        from PIL import Image
+        img = np.asarray(Image.open(out))
+        assert img.shape == (24, 32, 3)
+        assert img.max() > 10   # lit
+
+    def test_smallpt_app_volumetric(self, tmp_path):
+        from bifrost3d_tpu.apps.smallpt_app import main
+
+        out = tmp_path / "vpt.png"
+        assert main(["--width", "24", "--height", "18", "-n", "1",
+                     "--volumetric", "-o", str(out)]) == 0
+        assert out.exists()
+
+
 class TestPooledSmallpt:
     def test_pooled_matches_dense(self):
         """The compacting pool walks identical per-pixel sample chains —
