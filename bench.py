@@ -216,12 +216,14 @@ def bench_torus_grid():
     d = jnp.asarray(d)
 
     def timed(f):
-        jax.block_until_ready(f(o, d))
+        # Force a scalar fetch: block_until_ready does not reliably block
+        # through the axon tunnel (BASELINE.md, measurement methodology).
+        float(f(o, d).t.sum())
         t0 = time.perf_counter()
         h = None
         for _ in range(REPS):
             h = f(o, d)
-        jax.block_until_ready(h)
+        float(h.t.sum())
         return (time.perf_counter() - t0) / REPS, h
 
     ph = jax.device_put(pack_hierarchical(tris))

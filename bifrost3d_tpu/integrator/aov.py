@@ -48,12 +48,13 @@ def render_aovs(scene: RenderScene, camera: PinholeCamera,
     # Depth normalized to [0, 1] by near/far (SimpleRGPs.cu:227-259).
     depth = jnp.clip((jnp.where(mask, hit.t, far) - near) / (far - near), 0.0, 1.0)
 
-    tint = scene.materials.tint[mat_idx]
-    roughness = scene.materials.roughness[mat_idx]
+    mats_lane = scene.materials.gather(mat_idx)
+    tint = mats_lane.tint
+    roughness = mats_lane.roughness
 
     # Albedo = rho of the constructed shading model.
     wo = to_local(-d, shading_normal)
-    bundle = _create_shading(scene.materials, mat_idx, wo[..., 2],
+    bundle = _create_shading(mats_lane, wo[..., 2],
                              jnp.zeros_like(hit.t))
     abs_cos = jnp.abs(wo[..., 2])
     rho_default = bundle.default.rho(abs_cos)

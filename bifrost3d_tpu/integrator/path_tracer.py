@@ -44,7 +44,7 @@ from bifrost3d_tpu.scene.materials import (
     SHADING_DIFFUSE,
     SHADING_TRANSMISSIVE,
 )
-from bifrost3d_tpu.scene.render_scene import RenderScene, corner_normals
+from bifrost3d_tpu.scene.render_scene import RenderScene
 from bifrost3d_tpu.shading.default_shading import DefaultShading
 from bifrost3d_tpu.shading.diffuse_shading import DiffuseShading
 from bifrost3d_tpu.shading.transmissive_shading import TransmissiveShading
@@ -173,34 +173,36 @@ class _ShadingBundle(NamedTuple):
     model: jnp.ndarray  # [...] int32
 
 
-def _surface_material_params(scene: RenderScene, mat_idx, texcoord,
+def _surface_material_params(scene: RenderScene, mats, texcoord,
                              tint_roughness_scale=None):
     """Resolve per-hit material params: constants × texture fetches ×
     per-vertex tint-roughness scale (the reference's get_tint_roughness /
-    get_metallic / get_coverage texture helpers, Types.h:353-416)."""
+    get_metallic / get_coverage texture helpers, Types.h:353-416).
+
+    ``mats`` is the PER-LANE MaterialArray from ``materials.gather(idx)``
+    (one one-hot matmul replaces ~12 per-field TPU gathers, BASELINE.md)."""
     from bifrost3d_tpu.io.texture import sample_texture
 
-    mats = scene.materials
-    tint = mats.tint[mat_idx]
-    roughness = mats.roughness[mat_idx]
-    metallic = mats.metallic[mat_idx]
-    coverage_or_threshold = mats.coverage[mat_idx]
+    tint = mats.tint
+    roughness = mats.roughness
+    metallic = mats.metallic
+    coverage_or_threshold = mats.coverage
     coverage_tex = None
     if texcoord is not None:
         tr = sample_texture(scene.textures,
-                            mats.tint_roughness_texture[mat_idx], texcoord)
+                            mats.tint_roughness_texture, texcoord)
         tint = tint * tr[..., :3]
         roughness = roughness * tr[..., 3]
         metallic = metallic * sample_texture(
-            scene.textures, mats.metallic_texture[mat_idx], texcoord)[..., 0]
+            scene.textures, mats.metallic_texture, texcoord)[..., 0]
         coverage_tex = sample_texture(
-            scene.textures, mats.coverage_texture[mat_idx], texcoord)[..., 0]
+            scene.textures, mats.coverage_texture, texcoord)[..., 0]
     if coverage_tex is None:
         coverage_tex = jnp.ones_like(coverage_or_threshold)
     # Cutout materials binarize the texture sample against the stored value,
     # which is then a threshold, not a coverage (Types.h:405-413,
     # Material.h:84-85: coverage and cutout_threshold share storage).
-    is_cutout = (mats.flags[mat_idx] & FLAG_CUTOUT) != 0
+    is_cutout = (mats.flags & FLAG_CUTOUT) != 0
     coverage = jnp.where(
         is_cutout,
         jnp.where(coverage_tex < coverage_or_threshold, 0.0, 1.0),
@@ -211,37 +213,38 @@ def _surface_material_params(scene: RenderScene, mat_idx, texcoord,
     return tint, roughness, metallic, coverage
 
 
-def _create_shading(materials, mat_idx, cos_theta_o, min_roughness,
+def _create_shading(materials, cos_theta_o, min_roughness,
                     present=(0, 1, 2), tint=None, roughness=None,
                     metallic=None, thin_walled=None):
     """Construct only the shading models the scene uses (``present`` is
-    static — absent models cost nothing). Textured params may be passed in
+    static — absent models cost nothing). ``materials`` is the PER-LANE
+    MaterialArray from ``gather(idx)``. Textured params may be passed in
     explicitly (from :func:`_surface_material_params`)."""
     if tint is None:
-        tint = materials.tint[mat_idx]
+        tint = materials.tint
     if roughness is None:
-        roughness = materials.roughness[mat_idx]
+        roughness = materials.roughness
     if metallic is None:
-        metallic = materials.metallic[mat_idx]
+        metallic = materials.metallic
     roughness = jnp.maximum(roughness, min_roughness)
     default = DefaultShading.create(
         tint=tint,
         roughness=roughness,
-        specularity=materials.specularity[mat_idx],
+        specularity=materials.specularity,
         metallic=metallic,
-        coat=materials.coat[mat_idx],
+        coat=materials.coat,
         coat_roughness=jnp.maximum(
-            materials.coat_roughness[mat_idx], min_roughness),
+            materials.coat_roughness, min_roughness),
         abs_cos_theta_o=jnp.abs(cos_theta_o)) if 0 in present else None
     diffuse = DiffuseShading.create(tint=tint, roughness=roughness) \
         if 1 in present else None
     transmissive = TransmissiveShading.create(
         tint=tint, roughness=roughness,
-        specularity=materials.specularity[mat_idx],
+        specularity=materials.specularity,
         cos_theta_o=cos_theta_o,
         thin_walled=thin_walled) if 2 in present else None
     return _ShadingBundle(default, diffuse, transmissive,
-                          materials.shading_model[mat_idx])
+                          materials.shading_model)
 
 
 def _shading_evaluate_with_pdf(b: _ShadingBundle, wo, wi):
@@ -435,13 +438,51 @@ def _intersect_analytic_lights(scene: RenderScene, origin, direction):
     return t_min, jnp.where(jnp.isfinite(t_min), idx, -1)
 
 
+def _fetch_tri_attributes(scene: RenderScene, prim):
+    """All per-triangle attributes for lanes ``prim`` in ONE fetch
+    → (verts [r,3,3], corner_normals [r,3,3], uvs [r,3,2],
+       tint_roughness [r,3,4], mat_idx [r] int32).
+
+    Separate per-field fetches cost ~0.7-1 ms each per 65k lanes on TPU
+    (per-index, not per-element — BASELINE.md), so the 5 attribute reads at
+    a mesh hit cost more than the trace. Packing the tables into one
+    [t, 34] row matrix (concat is loop-invariant: XLA hoists it out of the
+    wavefront loop) makes it a single row gather — or, for small meshes, a
+    free one-hot MXU contraction. int fields survive exactly: int16 oct
+    normals and material ids are exact in f32."""
+    from bifrost3d_tpu.math.octahedral import octahedral_decode
+
+    t = scene.tri_verts.shape[0]
+    packed = jnp.concatenate([
+        scene.tri_verts.reshape(t, 9),
+        scene.tri_normals_oct.astype(jnp.float32).reshape(t, 6),
+        scene.tri_uvs.reshape(t, 6),
+        scene.tri_tint_roughness.reshape(t, 12),
+        scene.tri_material.astype(jnp.float32)[:, None],
+    ], axis=1)  # [t, 34]
+    if t <= 512:
+        oh = (prim[:, None] == jnp.arange(t, dtype=prim.dtype)
+              ).astype(jnp.float32)
+        rows = jnp.dot(oh, packed, precision=jax.lax.Precision.HIGHEST)
+    else:
+        rows = packed[prim]
+    r = prim.shape[0]
+    v = rows[:, 0:9].reshape(r, 3, 3)
+    n_oct = jnp.round(rows[:, 9:15]).astype(jnp.int16).reshape(r, 3, 2)
+    uv = rows[:, 15:21].reshape(r, 3, 2)
+    tr = rows[:, 21:33].reshape(r, 3, 4)
+    mat_idx = jnp.round(rows[:, 33]).astype(jnp.int32)
+    return v, octahedral_decode(n_oct), uv, tr, mat_idx
+
+
 def _coverage_at_hit(scene: RenderScene, hit):
     """Coverage of the surface at a Hit (cutout binarization included)."""
     prim = jnp.maximum(hit.prim, 0)
-    mat_idx = scene.tri_material[prim]
+    _, _, uv, _, mat_idx = _fetch_tri_attributes(scene, prim)
     bary = jnp.stack([1.0 - hit.u - hit.v, hit.u, hit.v], axis=-1)
-    texcoord = jnp.einsum("rk,rkc->rc", bary, scene.tri_uvs[prim])
-    _, _, _, coverage = _surface_material_params(scene, mat_idx, texcoord)
+    texcoord = jnp.einsum("rk,rkc->rc", bary, uv)
+    _, _, _, coverage = _surface_material_params(
+        scene, scene.materials.gather(mat_idx), texcoord)
     return coverage
 
 
@@ -536,27 +577,28 @@ def _wavefront_step(scene: RenderScene, settings: RenderSettings,
 
     # --- mesh hit shading ---
     prim = jnp.maximum(hit.prim, 0)
-    v = scene.tri_verts[prim]
-    n = corner_normals(scene, prim)
-    uv = scene.tri_uvs[prim]
-    mat_idx = scene.tri_material[prim]
+    v, n, uv, tr, mat_idx = _fetch_tri_attributes(scene, prim)
     bary = jnp.stack([1.0 - hit.u - hit.v, hit.u, hit.v], axis=-1)
 
     position = jnp.einsum("rk,rkc->rc", bary, v)
     shading_normal = normalize(jnp.einsum("rk,rkc->rc", bary, n))
     texcoord = jnp.einsum("rk,rkc->rc", bary, uv)
-    tr_scale = jnp.einsum("rk,rkc->rc", bary, scene.tri_tint_roughness[prim])
+    tr_scale = jnp.einsum("rk,rkc->rc", bary, tr)
     geo_normal = normalize(jnp.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]))
+
+    # All material fields for this lane's hit in ONE one-hot matmul
+    # (replaces ~12 separate TPU gathers — see MaterialArray.gather).
+    mats_lane = scene.materials.gather(mat_idx)
 
     # Textured material parameters (tint/roughness/metallic/coverage).
     tex_tint, tex_roughness, tex_metallic, tex_coverage = \
-        _surface_material_params(scene, mat_idx, texcoord, tr_scale)
+        _surface_material_params(scene, mats_lane, texcoord, tr_scale)
 
-    flags = scene.materials.flags[mat_idx]
+    flags = mats_lane.flags
     # Cutouts are implicitly thin-walled (Types.h:384: is_thin_walled()
     # tests Cutout | ThinWalled).
     thin_walled = (flags & (FLAG_THIN_WALLED | FLAG_CUTOUT)) != 0
-    transmissive_model = scene.materials.shading_model[mat_idx] == SHADING_TRANSMISSIVE
+    transmissive_model = mats_lane.shading_model == SHADING_TRANSMISSIVE
 
     hit_from_front = dot(geo_normal, direction) < 0.0
     backside_cull = ~hit_from_front & ~thin_walled & ~transmissive_model
@@ -595,13 +637,13 @@ def _wavefront_step(scene: RenderScene, settings: RenderSettings,
     else:
         min_roughness = jnp.zeros_like(cos_theta_o)
 
-    bundle = _create_shading(scene.materials, mat_idx, cos_theta_o,
+    bundle = _create_shading(mats_lane, cos_theta_o,
                              min_roughness, settings.shading_models_present,
                              tint=tex_tint, roughness=tex_roughness,
                              metallic=tex_metallic, thin_walled=thin_walled)
 
     # Surface emission.
-    emission = scene.materials.emission[mat_idx]
+    emission = mats_lane.emission
     radiance = radiance + jnp.where(shade[..., None], throughput * emission, 0.0)
 
     # --- NEE with RIS ---

@@ -83,11 +83,15 @@ class TextureBank(NamedTuple):
     def build(textures) -> "TextureBank":
         """textures: list of dicts {image [h,w,c] float, filter, wrap_u, wrap_v}."""
         if not textures:
+            # Statically EMPTY (n=0): sample_texture sees the shape at trace
+            # time and skips every fetch — an untextured scene pays zero
+            # texture gathers per wavefront step (BASELINE.md, TPU gather
+            # costs).
             return TextureBank(
-                data=jnp.zeros((1, 1, 1, 4), jnp.float32),
-                sizes=jnp.ones((1, 2), jnp.int32),
-                filters=jnp.zeros(1, jnp.int32),
-                wraps=jnp.ones((1, 2), jnp.int32))
+                data=jnp.zeros((0, 1, 1, 4), jnp.float32),
+                sizes=jnp.ones((0, 2), jnp.int32),
+                filters=jnp.zeros(0, jnp.int32),
+                wraps=jnp.ones((0, 2), jnp.int32))
         max_h = max(int(np.asarray(t["image"]).shape[0]) for t in textures)
         max_w = max(int(np.asarray(t["image"]).shape[1]) for t in textures)
         n = len(textures)
@@ -124,7 +128,15 @@ def sample_texture(bank: TextureBank, texture_id, uv, default=None):
 
     Nearest or bilinear per the texture's sampler state (Texture::sample2D);
     v = 0 is the bottom of the image (the reference's texcoord convention).
+
+    A statically empty bank (n=0, untextured scene) compiles to the default
+    constant — no gathers are emitted.
     """
+    if default is None:
+        default = jnp.asarray([1.0, 1.0, 1.0, 1.0], jnp.float32)
+    if bank.data.shape[0] == 0:
+        shape = jnp.shape(texture_id) + (4,)
+        return jnp.broadcast_to(default, shape)
     tid = jnp.maximum(texture_id, 0)
     h = bank.sizes[tid, 0]
     w = bank.sizes[tid, 1]
@@ -156,9 +168,6 @@ def sample_texture(bank: TextureBank, texture_id, uv, default=None):
     bilinear = ((fetch(x0, y0) * (1 - tx) + fetch(x0 + 1, y0) * tx) * (1 - ty)
                 + (fetch(x0, y0 + 1) * (1 - tx) + fetch(x0 + 1, y0 + 1) * tx) * ty)
     out = jnp.where((filt == FILTER_NONE)[..., None], nearest, bilinear)
-
-    if default is None:
-        default = jnp.asarray([1.0, 1.0, 1.0, 1.0], jnp.float32)
     return jnp.where((texture_id < 0)[..., None], default, out)
 
 

@@ -103,10 +103,11 @@ def render_preview(scene: RenderScene, camera: PinholeCamera,
     normal = jnp.where(dot(normal, d, keepdims=True) > 0, -normal, normal)
     wo = -d
 
-    tint = scene.materials.tint[mat_idx]
-    roughness = scene.materials.roughness[mat_idx]
-    specularity = scene.materials.specularity[mat_idx]
-    metallic = scene.materials.metallic[mat_idx]
+    mats_lane = scene.materials.gather(mat_idx)
+    tint = mats_lane.tint
+    roughness = mats_lane.roughness
+    specularity = mats_lane.specularity
+    metallic = mats_lane.metallic
 
     color = _light_contribution(scene, position, normal, wo, tint, roughness,
                                 specularity, metallic)

@@ -89,6 +89,65 @@ class MaterialArray(NamedTuple):
     def is_transmissive(self, index):
         return self.shading_model[index] == SHADING_TRANSMISSIVE
 
+    def gather(self, index) -> "MaterialArray":
+        """Fetch every field for per-lane ``index`` with ONE one-hot matmul.
+
+        TPU gathers cost ~0.5 ms per 65k-lane fetch regardless of fetched
+        width (per-index, not per-element — see BASELINE.md, one-hot rho
+        fetches), so the ~12 separate ``mats.X[idx]`` fetches in the
+        wavefront step cost more than the whole trace. Packing the table
+        into one [m, 18] matrix and contracting with the one-hot index row
+        runs on the MXU instead. Integer fields (flags, shading model,
+        texture ids) stay exact: products are 0/1 × small int, sums are
+        exact in f32 at HIGHEST precision.
+
+        Returns a MaterialArray whose fields have ``index``'s batch shape
+        (use field access directly — do NOT re-index the result).
+        """
+        import jax
+
+        packed = jnp.concatenate([
+            self.shading_model.astype(jnp.float32)[:, None],
+            self.tint,
+            self.roughness[:, None],
+            self.specularity[:, None],
+            self.metallic[:, None],
+            self.coat[:, None],
+            self.coat_roughness[:, None],
+            self.coverage[:, None],
+            self.transmission[:, None],
+            self.emission,
+            self.flags.astype(jnp.float32)[:, None],
+            self.tint_roughness_texture.astype(jnp.float32)[:, None],
+            self.metallic_texture.astype(jnp.float32)[:, None],
+            self.coverage_texture.astype(jnp.float32)[:, None],
+        ], axis=1)  # [m, 18]
+        m = packed.shape[0]
+        one_hot = (index[..., None] == jnp.arange(m, dtype=index.dtype)
+                   ).astype(jnp.float32)
+        rows = jnp.einsum('...m,mk->...k', one_hot, packed,
+                          precision=jax.lax.Precision.HIGHEST)
+
+        def as_int(col):
+            return jnp.round(col).astype(jnp.int32)
+
+        return MaterialArray(
+            shading_model=as_int(rows[..., 0]),
+            tint=rows[..., 1:4],
+            roughness=rows[..., 4],
+            specularity=rows[..., 5],
+            metallic=rows[..., 6],
+            coat=rows[..., 7],
+            coat_roughness=rows[..., 8],
+            coverage=rows[..., 9],
+            transmission=rows[..., 10],
+            emission=rows[..., 11:14],
+            flags=as_int(rows[..., 14]),
+            tint_roughness_texture=as_int(rows[..., 15]),
+            metallic_texture=as_int(rows[..., 16]),
+            coverage_texture=as_int(rows[..., 17]),
+        )
+
     @staticmethod
     @host_build
     def build(materials) -> "MaterialArray":
