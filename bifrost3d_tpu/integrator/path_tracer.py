@@ -34,6 +34,7 @@ from bifrost3d_tpu.lights.environment import (
     environment_pdf,
 )
 from bifrost3d_tpu.lights.types import LIGHT_SPHERE, LIGHT_SPOT
+from bifrost3d_tpu.math.ray_offset import offset_ray_origin
 from bifrost3d_tpu.math.vec import dot, normalize, reflect, to_local, to_world
 from bifrost3d_tpu.sampling.hashes import pcg2d
 from bifrost3d_tpu.sampling.sobol import Dimension, path_rng_4d
@@ -475,10 +476,33 @@ def _fetch_tri_attributes(scene: RenderScene, prim):
     return v, octahedral_decode(n_oct), uv, tr, mat_idx
 
 
+def _fetch_tri_uv_mat(scene: RenderScene, prim):
+    """Narrow attribute fetch for the coverage/shadow path: only the uv and
+    material-id columns (7 of the 34 packed columns). The one-hot dot path
+    can't dead-code-eliminate unused matmul columns (ADVICE r3), so the
+    coverage evaluation packs its own [t, 7] table — loop-invariant, hoisted
+    by XLA like the full packing."""
+    t = scene.tri_uvs.shape[0]
+    packed = jnp.concatenate([
+        scene.tri_uvs.reshape(t, 6),
+        scene.tri_material.astype(jnp.float32)[:, None],
+    ], axis=1)  # [t, 7]
+    if t <= 512:
+        oh = (prim[:, None] == jnp.arange(t, dtype=prim.dtype)
+              ).astype(jnp.float32)
+        rows = jnp.dot(oh, packed, precision=jax.lax.Precision.HIGHEST)
+    else:
+        rows = packed[prim]
+    r = prim.shape[0]
+    uv = rows[:, 0:6].reshape(r, 3, 2)
+    mat_idx = jnp.round(rows[:, 6]).astype(jnp.int32)
+    return uv, mat_idx
+
+
 def _coverage_at_hit(scene: RenderScene, hit):
     """Coverage of the surface at a Hit (cutout binarization included)."""
     prim = jnp.maximum(hit.prim, 0)
-    _, _, uv, _, mat_idx = _fetch_tri_attributes(scene, prim)
+    uv, mat_idx = _fetch_tri_uv_mat(scene, prim)
     bary = jnp.stack([1.0 - hit.u - hit.v, hit.u, hit.v], axis=-1)
     texcoord = jnp.einsum("rk,rkc->rc", bary, uv)
     _, _, _, coverage = _surface_material_params(
@@ -652,8 +676,11 @@ def _wavefront_step(scene: RenderScene, settings: RenderSettings,
     l_dir, l_dist, l_radiance, nee_valid = _reestimated_light_samples(
         scene, bundle, position, wo, sn, u_nee, settings)
     l_radiance = l_radiance * throughput
-    shadow_origin = position + geo_normal * jnp.where(
-        dot(l_dir, geo_normal) >= 0, eps, -eps)[..., None] * 16.0
+    # Scale-robust RT-Gems integer offset (Utils.h:372-397) along the side
+    # the shadow ray leaves.
+    shadow_side = jnp.where(dot(l_dir, geo_normal) >= 0, 1.0, -1.0)
+    shadow_origin = offset_ray_origin(position,
+                                      geo_normal * shadow_side[..., None])
     has_light = shade & (jnp.max(l_radiance, axis=-1) > 0.0)
     if settings.coverage_aware_shadows:
         shadow_trans = jax.lax.stop_gradient(_shadow_transmittance(
@@ -691,16 +718,17 @@ def _wavefront_step(scene: RenderScene, settings: RenderSettings,
     new_throughput = throughput * s.reflectance * weight[..., None]
     new_throughput = jnp.where(valid_sample[..., None], new_throughput, 0.0)
 
-    new_origin = position + geo_normal * jnp.where(
-        dot(new_dir_world, geo_normal) >= 0, eps, -eps)[..., None] * 16.0
+    bounce_side = jnp.where(dot(new_dir_world, geo_normal) >= 0, 1.0, -1.0)
+    new_origin = offset_ray_origin(position,
+                                   geo_normal * bounce_side[..., None])
 
     # MIS bookkeeping: pdf <= 0 disables MIS (delta bounce or no NEE).
     new_bsdf_pdf = jnp.where(s.is_delta | ~nee_valid, 0.0, s.pdf)
 
     # --- combine lane updates ---
-    # Passthrough lanes continue along the same direction past the surface.
-    pass_origin = position + direction * (2.0 * eps)[..., None] \
-        if jnp.ndim(eps) else position + direction * (2.0 * eps)
+    # Passthrough lanes continue along the same direction past the surface:
+    # offset to the side opposite the one the ray arrived from.
+    pass_origin = offset_ray_origin(position, -geo_normal)
 
     origin = jnp.where(shade[..., None], new_origin,
                        jnp.where(passthrough[..., None], pass_origin, origin))

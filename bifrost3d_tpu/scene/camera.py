@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from bifrost3d_tpu.math.transform import (
@@ -89,7 +90,12 @@ def camera_ray_directions(camera: PinholeCamera, viewport_points):
         [ndc_xy, jnp.full(ndc_xy.shape[:-1] + (1,), -1.0),
          jnp.ones(ndc_xy.shape[:-1] + (1,))], axis=-1)
     inv = camera.inverse_projection
-    scaled_near = near4 @ inv.T
+    # HIGHEST precision: the clip-space w reconstruction cancels
+    # inv[3,2]·ndc_z against inv[3,3] (magnitudes ~far/near); TPU default
+    # matmul precision (bf16 passes) flips its sign for small near planes,
+    # negating every ray direction.
+    scaled_near = jnp.einsum('...j,ij->...i', near4, inv,
+                             precision=jax.lax.Precision.HIGHEST)
     ray_near = scaled_near[..., :3] / scaled_near[..., 3:4]
     scaled_far = scaled_near + 2.0 * inv[:, 2]
     ray_far = scaled_far[..., :3] / scaled_far[..., 3:4]
@@ -111,7 +117,8 @@ def project_to_screen(camera: PinholeCamera, point):
     """
     view = transform_point(transform_inverse(camera.transform), point)
     v4 = jnp.concatenate([view, jnp.ones(view.shape[:-1] + (1,))], axis=-1)
-    clip = v4 @ camera.projection.T
+    clip = jnp.einsum('...j,ij->...i', v4, camera.projection,
+                      precision=jax.lax.Precision.HIGHEST)
     w = clip[..., 3]
     safe_w = jnp.where(jnp.abs(w) < 1e-9, 1e-9, w)
     ndc = clip[..., :2] / safe_w[..., None]

@@ -101,6 +101,17 @@ class MaterialArray(NamedTuple):
         texture ids) stay exact: products are 0/1 × small int, sums are
         exact in f32 at HIGHEST precision.
 
+        Tables above 512 materials fall back to the packed row gather
+        (mirroring _fetch_tri_attributes' t<=512 guard): a [lanes, m]
+        one-hot is O(lanes·m) compute+memory and loses to the row gather
+        for glTF scenes with hundreds of materials. ``index`` is clipped
+        to [0, m-1] either way (NumPy-style clamp, so a stray invalid id
+        can't silently decode texture slot 0 from an all-zero row).
+
+        Requires finite table entries: a NaN/Inf row would poison every
+        lane through the one-hot matmul (0·Inf = NaN); ``build`` asserts
+        this at host-build time.
+
         Returns a MaterialArray whose fields have ``index``'s batch shape
         (use field access directly — do NOT re-index the result).
         """
@@ -123,10 +134,14 @@ class MaterialArray(NamedTuple):
             self.coverage_texture.astype(jnp.float32)[:, None],
         ], axis=1)  # [m, 18]
         m = packed.shape[0]
-        one_hot = (index[..., None] == jnp.arange(m, dtype=index.dtype)
-                   ).astype(jnp.float32)
-        rows = jnp.einsum('...m,mk->...k', one_hot, packed,
-                          precision=jax.lax.Precision.HIGHEST)
+        index = jnp.clip(index, 0, m - 1)
+        if m <= 512:
+            one_hot = (index[..., None] == jnp.arange(m, dtype=index.dtype)
+                       ).astype(jnp.float32)
+            rows = jnp.einsum('...m,mk->...k', one_hot, packed,
+                              precision=jax.lax.Precision.HIGHEST)
+        else:
+            rows = packed[index]
 
         def as_int(col):
             return jnp.round(col).astype(jnp.int32)
@@ -167,6 +182,15 @@ class MaterialArray(NamedTuple):
                 if name in mat:
                     arr[i] = mat[name]
             return arr
+
+        # Finite-table precondition for the one-hot gather (see gather()):
+        # one non-finite entry would NaN-poison every lane via 0·Inf.
+        for i, mat in enumerate(materials):
+            for key, value in mat.items():
+                if key != "flags" and not np.all(np.isfinite(
+                        np.asarray(value, np.float64))):
+                    raise ValueError(
+                        f"material {i} field {key!r} is not finite: {value}")
 
         return MaterialArray(
             shading_model=jnp.asarray(ifield("shading_model", SHADING_DEFAULT)),

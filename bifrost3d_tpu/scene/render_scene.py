@@ -98,6 +98,14 @@ def build_render_scene(instances, materials: MaterialArray,
     tri_tr = np.concatenate(trs).astype(np.float32)
     tri_material = np.concatenate(mat_ids)
 
+    # Finite-table precondition: the integrator fetches attributes through
+    # one-hot/hat-weight matmuls, where a single NaN/Inf row (degenerate
+    # asset) poisons every lane via 0·Inf (ADVICE r3). Reject at build time.
+    for name, arr in (("positions", tri_verts), ("normals", tri_normals),
+                      ("texcoords", tri_uvs), ("tint_roughness", tri_tr)):
+        if not np.all(np.isfinite(arr)):
+            raise ValueError(f"scene {name} contain non-finite values")
+
     # Build the BVH over the flattened soup.
     flat_pos = tri_verts.reshape(-1, 3)
     flat_idx = np.arange(flat_pos.shape[0], dtype=np.int32).reshape(-1, 3)
