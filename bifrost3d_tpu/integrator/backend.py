@@ -19,16 +19,17 @@ import jax.numpy as jnp
 from bifrost3d_tpu.integrator.aov import render_aovs
 from bifrost3d_tpu.integrator.path_tracer import (
     RenderSettings,
-    render_sample_pooled,
+    render_sample_fast,
 )
 
 
 class SimpleBackend:
     """One progressive launch per frame + running average accumulation.
 
-    Forward product path: renders through the pooled compacting wavefront
-    (compaction + ray regeneration, path_tracer.render_sample_pooled) —
-    the dense fixed-iteration integrator stays reserved for autodiff.
+    Forward product path: renders through path_tracer.render_sample_fast
+    (mesh megakernel on TPU where eligible, pooled compacting wavefront
+    otherwise) — the dense fixed-iteration integrator stays reserved for
+    autodiff.
     """
 
     def __init__(self, scene, camera, width: int, height: int,
@@ -48,7 +49,7 @@ class SimpleBackend:
         self.buffer = jnp.zeros((self.height, self.width, 3), jnp.float32)
 
     def render(self):
-        frame = render_sample_pooled(
+        frame = render_sample_fast(
             self.scene, self.camera, self.width, self.height,
             self.accumulations, self.settings, self.pool_size)
         self.accumulations += 1

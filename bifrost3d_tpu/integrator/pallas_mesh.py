@@ -1,0 +1,1270 @@
+"""The mesh path tracer as a single Pallas MEGAKERNEL (small scenes).
+
+The reference renders one GPU thread per pixel with the whole path inline
+(Shading/SimpleRGPs.cu:112-140 + MonteCarlo.cu:129-233). The XLA wavefront
+(integrator/path_tracer.py) is the general/differentiable product path, but
+its step body dispatches ~86 XLA kernels per pool iteration and is
+launch-bound on TPU (BASELINE.md r3). This kernel is the TPU megakernel for
+scenes whose geometry fits VMEM: each grid step takes an [8, 128] block of
+pixels and runs the ENTIRE estimator in-kernel — dense Möller-Trumbore
+trace over the VMEM-resident triangle table, octahedral-decoded attribute
+fetch via one-hot MXU contraction, DefaultShading (EON diffuse + GGX
+bounded-VNDF specular with rho-table energy compensation), RIS(3) NEE with
+toroidally-shifted candidates, balance-heuristic MIS, shadow trace, and
+Owen-scrambled Sobol RNG — with all lane state living in vector registers.
+
+Tile geometry: per-lane scalars are (8, 128) f32/u32 tiles; vectors are
+tuples of three tiles. The trace and the table lookups run per sublane row
+(rays as a (1, 128) lane row against triangles on the sublane axis), which
+keeps every contraction 2D:
+
+- trace: (T, 1) triangle components broadcast against (1, 128) rays
+  → dense (T, 128) VPU math, running min over the sublane axis;
+- attribute fetch: (A, T) table @ (T, 128) one-hot → (A, 128) on the MXU;
+- rho lookups: (32, 32) table @ (32, 128) hat-weight columns → bilinear
+  interpolation as one small matmul (the r3 one-hot-MXU trick in-kernel).
+
+Estimator parity: the sample chains follow path_tracer.render_sample
+exactly (same Sobol dimension scheme Types.h:422-427, same RIS reservoir,
+same clamps); agreement is f32-noise-level (op reassociation and a
+≤1-ULP-identical uint→float conversion can flip individual stochastic
+decisions), gated statistically by tests/test_pallas_mesh.py.
+
+Scope (``mesh_megakernel_eligible``): ≤ MAX_TRIS triangles, DefaultShading
+materials only (no coat), sphere/directional lights, tint-only environment,
+no textures/cutouts, no path regularization. Everything else renders
+through the XLA wavefront. Forward-only — autodiff keeps render_sample.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bifrost3d_tpu.integrator.path_tracer import (
+    RenderSettings,
+    _reverse_halton_offsets,
+)
+from bifrost3d_tpu.lights.types import LIGHT_DIRECTIONAL, LIGHT_SPHERE
+from bifrost3d_tpu.scene.render_scene import RenderScene
+
+LANES = (8, 128)
+MAX_TRIS = 512
+MAX_MATERIALS = 32
+MAX_LIGHTS = 8
+_BIG = 3.0e38
+PI = float(np.pi)
+TWO_PI = 2.0 * PI
+INV_PI = 1.0 / PI
+MIN_ALPHA = 1e-4
+_MIN_COS = 1e-6
+
+# Sobol direction numbers (sampling/sobol.py _sobol_direction_numbers) as
+# compile-time python ints.
+from bifrost3d_tpu.sampling.sobol import _DIRECTIONS as _SOBOL_DIRS  # noqa: E402
+
+_RIS_OFFSETS = _reverse_halton_offsets(8)
+
+# EON constants (bsdf/oren_nayar.py).
+_C1_FON = 0.5 - 2.0 / (3.0 * PI)
+_C2_FON = 2.0 / 3.0 - 28.0 / (15.0 * PI)
+
+# RT-Gems ray offset constants (math/ray_offset.py).
+_RO_ORIGIN = 1.0 / 32.0
+_RO_FLOAT_SCALE = 1.0 / 65536.0
+_RO_INT_SCALE = 256.0
+
+
+# ---------------------------------------------------------------------------
+# Tile algebra (vec3 = tuple of three (8,128) tiles)
+# ---------------------------------------------------------------------------
+
+def _dot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _add(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def _sub(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def _mul(a, b):
+    return (a[0] * b[0], a[1] * b[1], a[2] * b[2])
+
+
+def _scale(a, s):
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def _cross(a, b):
+    return (a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0])
+
+
+def _normalize(a):
+    inv = jax.lax.rsqrt(jnp.maximum(_dot(a, a), 1e-30))
+    return _scale(a, inv)
+
+
+def _where3(m, a, b):
+    return (jnp.where(m, a[0], b[0]),
+            jnp.where(m, a[1], b[1]),
+            jnp.where(m, a[2], b[2]))
+
+
+def _max3(a):
+    return jnp.maximum(jnp.maximum(a[0], a[1]), a[2])
+
+
+def _lerp(a, b, t):
+    return a + (b - a) * t
+
+
+def _gsafe(x, floor=0.0):
+    return jnp.maximum(x, max(floor, 1e-12))
+
+
+def _onb(n):
+    """Duff et al. branch-free tangent basis (math/vec.py orthonormal_basis)."""
+    sign = jnp.where(n[2] >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + n[2])
+    b = n[0] * n[1] * a
+    t = (1.0 + sign * n[0] * n[0] * a, sign * b, -sign * n[0])
+    bt = (b, sign + n[1] * n[1] * a, -n[1])
+    return t, bt
+
+
+def _to_local(v, n):
+    t, b = _onb(n)
+    return (_dot(v, t), _dot(v, b), _dot(v, n))
+
+
+def _to_world(v, n):
+    t, b = _onb(n)
+    return (v[0] * t[0] + v[1] * b[0] + v[2] * n[0],
+            v[0] * t[1] + v[1] * b[1] + v[2] * n[1],
+            v[0] * t[2] + v[1] * b[2] + v[2] * n[2])
+
+
+def _reflect(d, n):
+    k = 2.0 * _dot(d, n)
+    return (d[0] - k * n[0], d[1] - k * n[1], d[2] - k * n[2])
+
+
+def _offset_ray_origin(p, n):
+    """RT-Gems integer offset (math/ray_offset.py) in tile form."""
+    out = []
+    for c in range(3):
+        of_i = (_RO_INT_SCALE * n[c]).astype(jnp.int32)
+        p_int = pltpu.bitcast(p[c], jnp.int32)
+        p_adj = p_int + jnp.where(p[c] < 0.0, -of_i, of_i)
+        p_i = pltpu.bitcast(p_adj, jnp.float32)
+        out.append(jnp.where(jnp.abs(p[c]) < _RO_ORIGIN,
+                             p[c] + _RO_FLOAT_SCALE * n[c], p_i))
+    return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# RNG (sampling/hashes.py + sobol.py, u32 tile form)
+# ---------------------------------------------------------------------------
+
+def _u2f(x):
+    """uint32 → f32 in [0,1): split into exact 23-bit + 9-bit parts so the
+    single rounding of their sum equals the direct u32→f32 conversion
+    (Mosaic has no u32→f32 cast)."""
+    hi = (x >> jnp.uint32(9)).astype(jnp.int32).astype(jnp.float32)
+    lo = (x & jnp.uint32(0x1FF)).astype(jnp.int32).astype(jnp.float32)
+    return (hi * 512.0 + lo) * np.float32(2.0 ** -32)
+
+
+def _reverse_bits(x):
+    x = ((x & jnp.uint32(0x55555555)) << jnp.uint32(1)) \
+        | ((x >> jnp.uint32(1)) & jnp.uint32(0x55555555))
+    x = ((x & jnp.uint32(0x33333333)) << jnp.uint32(2)) \
+        | ((x >> jnp.uint32(2)) & jnp.uint32(0x33333333))
+    x = ((x & jnp.uint32(0x0F0F0F0F)) << jnp.uint32(4)) \
+        | ((x >> jnp.uint32(4)) & jnp.uint32(0x0F0F0F0F))
+    x = ((x & jnp.uint32(0x00FF00FF)) << jnp.uint32(8)) \
+        | ((x >> jnp.uint32(8)) & jnp.uint32(0x00FF00FF))
+    return (x << jnp.uint32(16)) | (x >> jnp.uint32(16))
+
+
+def _cessen_owen_hash(x, seed):
+    x = x ^ (x * jnp.uint32(0x3D20ADEA))
+    x = x + seed
+    x = x * ((seed >> jnp.uint32(16)) | jnp.uint32(1))
+    x = x ^ (x * jnp.uint32(0x05526C56))
+    x = x ^ (x * jnp.uint32(0x53A22864))
+    return x
+
+
+_PCG_MUL = np.uint32(1664525)
+_PCG_INC = np.uint32(1013904223)
+
+
+def _pcg2d_x(x, y):
+    x = x * _PCG_MUL + _PCG_INC
+    y = y * _PCG_MUL + _PCG_INC
+    x = x + y * _PCG_MUL
+    y = y + x * _PCG_MUL
+    x = x ^ (x >> jnp.uint32(16))
+    y = y ^ (y >> jnp.uint32(16))
+    x = x + y * _PCG_MUL
+    return x ^ (x >> jnp.uint32(16))
+
+
+def _nested_uniform_scramble(x, seed):
+    return _reverse_bits(_cessen_owen_hash(_reverse_bits(x), seed))
+
+
+def _path_rng_4d(accumulation, pixel_hash, dimension):
+    """path_rng_4d (sampling/sobol.py) in tile form → 4 f32 tiles."""
+    seed = _pcg2d_x(pixel_hash, dimension)
+    index = _nested_uniform_scramble(
+        jnp.broadcast_to(accumulation, pixel_hash.shape), seed)
+    res = [jnp.zeros_like(index) for _ in range(4)]
+    for b in range(32):
+        bit = (index >> jnp.uint32(b)) & jnp.uint32(1)
+        for d in range(4):
+            res[d] = res[d] ^ (bit * np.uint32(_SOBOL_DIRS[d, b]))
+    out = []
+    for d in range(4):
+        dseed = seed ^ (jnp.uint32(d) + (seed << jnp.uint32(6))
+                        + (seed >> jnp.uint32(2)))
+        out.append(_u2f(_nested_uniform_scramble(res[d], dseed)))
+    return out
+
+
+def _toroidal_shift(u, off):
+    s = u + np.float32(off)
+    return s - jnp.floor(s)
+
+
+# ---------------------------------------------------------------------------
+# MIS + rho lookups
+# ---------------------------------------------------------------------------
+
+def _mis_weight(p1, p2):
+    divisor = p1 + p2
+    r = p1 / jnp.where(divisor == 0.0, 1.0, divisor)
+    invalid = jnp.isinf(divisor) | jnp.isnan(r)
+    return jnp.where(invalid, jnp.where(p1 <= p2, 0.0, 1.0), r)
+
+
+def _rho_lookup_rows(table_ref, x, y):
+    """Bilinear fetch of table[y, x] (coords in [0,1], boundary-aligned,
+    shading/fittings.py _bilinear_2d) for an (8,128) lane tile.
+
+    Per sublane row: hat weights over the 32-entry axes become (32, 128)
+    columns; column interp is one (32,32)@(32,128) MXU matmul, row interp a
+    sublane reduction.
+    """
+    tab = table_ref[:, :]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 0).astype(jnp.float32)
+    rows = []
+    for s in range(8):
+        fx = jnp.clip(x[s:s + 1, :], 0.0, 1.0) * 31.0     # (1,128)
+        fy = jnp.clip(y[s:s + 1, :], 0.0, 1.0) * 31.0
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(iota - fx))   # (32,128)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(iota - fy))
+        col = jax.lax.dot_general(
+            tab, wx, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)          # (32,128)
+        rows.append(jnp.sum(wy * col, axis=0, keepdims=True))
+    return jnp.concatenate(rows, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# GGX reflection lobe (bsdf/ggx.py, tile form; specularity = rgb tiles)
+# ---------------------------------------------------------------------------
+
+def _ggx_ndf(alpha, abs_cos):
+    a2 = alpha * alpha
+    c2 = abs_cos * abs_cos
+    s2 = jnp.maximum(1.0 - c2, 0.0)
+    q = jnp.maximum(c2 * a2 + s2, 1e-9)
+    return a2 / (PI * q * q)
+
+
+def _ggx_lambda(alpha, w):
+    z2 = jnp.maximum(w[2] * w[2], 1e-12)
+    return 0.5 * (-1.0 + jnp.sqrt(
+        1.0 + (jnp.square(alpha * w[0]) + jnp.square(alpha * w[1])) / z2))
+
+
+def _ggx_g(alpha, wo, wi):
+    return 1.0 / (1.0 + _ggx_lambda(alpha, wo) + _ggx_lambda(alpha, wi))
+
+
+def _schlick(spec, abs_cos):
+    t = jnp.maximum(1.0 - abs_cos, 0.0)
+    t2 = t * t
+    t5 = t2 * t2 * t
+    return ((1.0 - t5) * spec[0] + t5, (1.0 - t5) * spec[1] + t5,
+            (1.0 - t5) * spec[2] + t5)
+
+
+def _bounded_k(alpha, wo):
+    a2 = alpha * alpha
+    s = 1.0 + jnp.sqrt(_gsafe(wo[0] * wo[0] + wo[1] * wo[1]))
+    s2 = s * s
+    return (1.0 - a2) * s2 / (s2 + a2 * wo[2] * wo[2])
+
+
+def _ggx_bounded_vndf_pdf(alpha, wo, wi):
+    h = _normalize(_add(wo, wi))
+    ndf = _ggx_ndf(alpha, jnp.abs(h[2]))
+    ao2 = jnp.square(alpha * wo[0]) + jnp.square(alpha * wo[1])
+    t = jnp.sqrt(_gsafe(ao2 + wo[2] * wo[2]))
+    k = _bounded_k(alpha, wo)
+    upper = ndf / (2.0 * (k * wo[2] + t))
+    neg = wo[2] < 0.0
+    safe_ao2 = jnp.where(neg, jnp.maximum(2.0 * ao2, 1e-10), 1.0)
+    lower = ndf * (t - wo[2]) / safe_ao2
+    return jnp.where(neg, lower, upper)
+
+
+def _ggx_bounded_vndf_sample(alpha, wo, u0, u1):
+    wo_std = _normalize((wo[0] * alpha, wo[1] * alpha, wo[2]))
+    phi = TWO_PI * u1
+    k = _bounded_k(alpha, wo)
+    b = jnp.where(wo[2] >= 0.0, k * wo_std[2], wo_std[2])
+    z = (1.0 - u0) * (1.0 + b) - b
+    sin_theta = jnp.sqrt(jnp.clip(1.0 - z * z, 1e-12, 1.0))
+    o_std = (sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), z)
+    h_std = _add(wo_std, o_std)
+    h = _normalize((h_std[0] * alpha, h_std[1] * alpha, h_std[2]))
+    wi = _reflect(_scale(wo, -1.0), h)
+    return wi, _ggx_bounded_vndf_pdf(alpha, wo, wi)
+
+
+def _ggx_r_evaluate(alpha, spec3, wo, wi):
+    """→ f rgb tiles (bsdf/ggx.py r_evaluate)."""
+    same_hemi = wo[2] * wi[2] > 0.0
+    smooth = alpha <= MIN_ALPHA
+    valid = (~smooth) & same_hemi
+    h = _normalize(_add(wo, wi))
+    g = _ggx_g(alpha, wo, wi)
+    d = _ggx_ndf(alpha, jnp.abs(h[2]))
+    f3 = _schlick(spec3, jnp.abs(_dot(wo, h)))
+    denom = 4.0 * wo[2] * wi[2]
+    dg = d * g / jnp.where(jnp.abs(denom) > 1e-10, denom, 1.0)
+    zero = jnp.zeros_like(dg)
+    return _where3(valid, _scale(f3, dg), (zero, zero, zero))
+
+
+def _ggx_r_pdf(alpha, wo, wi):
+    same_hemi = wo[2] * wi[2] > 0.0
+    mirror = (-wo[0], -wo[1], wo[2])
+    wi_safe = _where3(same_hemi, wi, mirror)
+    p = _ggx_bounded_vndf_pdf(alpha, wo, wi_safe)
+    return jnp.where((alpha <= MIN_ALPHA) | ~same_hemi, 0.0, p)
+
+
+def _ggx_r_sample(alpha, spec3, wo, u0, u1):
+    """→ (wi, pdf, is_delta, f rgb) (bsdf/ggx.py r_sample)."""
+    smooth = alpha <= MIN_ALPHA
+    wi_rough, pdf_rough = _ggx_bounded_vndf_sample(alpha, wo, u0, u1)
+    f_rough = _ggx_r_evaluate(alpha, spec3, wo, wi_rough)
+    bad = wi_rough[2] < 0.0
+    pdf_rough = jnp.where(bad, 0.0, pdf_rough)
+    zero = jnp.zeros_like(pdf_rough)
+    f_rough = _where3(bad, (zero, zero, zero), f_rough)
+    wi_delta = (-wo[0], -wo[1], wo[2])
+    abs_z = jnp.maximum(jnp.abs(wo[2]), 1e-7)
+    fd = _schlick(spec3, jnp.abs(wo[2]))
+    f_delta = _scale(fd, 1.0 / abs_z)
+    wi = _where3(smooth, wi_delta, wi_rough)
+    pdf = jnp.where(smooth, 1.0, pdf_rough)
+    f = _where3(smooth, f_delta, f_rough)
+    return wi, pdf, smooth, f
+
+
+# ---------------------------------------------------------------------------
+# EON Oren-Nayar (bsdf/oren_nayar.py + CLTC, tile form)
+# ---------------------------------------------------------------------------
+
+def _eon_evaluate_scalar(roughness, wo, wi):
+    cos_i, cos_o = wi[2], wo[2]
+    s = _dot(wi, wo) - cos_i * cos_o
+    s_over_t = jnp.where(
+        s > 0.0, s / jnp.maximum(jnp.maximum(cos_i, cos_o), 1e-7), s)
+    a = 1.0 / (1.0 + _C1_FON * roughness)
+    b = roughness * a
+    f_single = INV_PI * a * (1.0 + roughness * s_over_t)
+
+    def e_fon(cos_t):
+        mucomp = 1.0 - cos_t
+        g = jnp.zeros_like(cos_t)
+        for coeff in (0.0714429953, -0.332181442, 0.491881867, 0.0571085289):
+            g = mucomp * (coeff + g)
+        return a + b * g
+
+    ef_o = e_fon(cos_o)
+    ef_i = e_fon(cos_i)
+    avg_ef = a * (1.0 + _C2_FON * roughness)
+    f_multi = (INV_PI * jnp.abs(1.0 - ef_o) * jnp.abs(1.0 - ef_i)
+               / jnp.maximum(1e-7, 1.0 - avg_ef))
+    return f_single + f_multi
+
+
+def _eon_uniform_probability(roughness, cos_theta):
+    return jnp.power(jnp.maximum(roughness, 1e-7), 0.1) * (
+        0.162925 + cos_theta * (-0.372058
+                                + (0.538233 - 0.290822 * cos_theta) * cos_theta))
+
+
+def _cltc_coeffs(mu, r):
+    a = 1.0 + r * (0.303392 + (-0.518982 + 0.111709 * mu) * mu
+                   + (-0.276266 + 0.335918 * mu) * r)
+    b = r * (-1.16407 + 1.15859 * mu + (0.150815 - 0.150105 * mu) * r) / (
+        mu * mu * mu - 1.43545)
+    c = 1.0 + (0.20013 + (-0.506373 + 0.261777 * mu) * mu) * r
+    d = ((0.540852 + (-1.01625 + 0.475392 * mu) * mu) * r) / (
+        -1.0743 + mu * (0.0725628 + mu))
+    return a, b, c, d
+
+
+def _ltc_tangent(wo):
+    len2 = wo[0] * wo[0] + wo[1] * wo[1]
+    has = len2 > 0.0
+    inv = 1.0 / jnp.sqrt(_gsafe(len2, 1e-20))
+    return (jnp.where(has, wo[0] * inv, 1.0), jnp.where(has, wo[1] * inv, 0.0))
+
+
+def _cltc_pdf(roughness, wo, wi):
+    cx, sx = _ltc_tangent(wo)
+    lx = cx * wi[0] + sx * wi[1]
+    ly = -sx * wi[0] + cx * wi[1]
+    lz = wi[2]
+    a, b, c, d = _cltc_coeffs(wo[2], roughness)
+    det_m = c * (a - b * d)
+    whx = c * (lx - b * lz)
+    why = (a - b * d) * ly
+    whz = -c * (d * lx - a * lz)
+    wh_mag2 = whx * whx + why * why + whz * whz
+    vz = 1.0 / jnp.sqrt(d * d + 1.0)
+    s = 0.5 * (1.0 + vz)
+    return (det_m * det_m / jnp.maximum(jnp.square(wh_mag2), 1e-10)
+            * jnp.maximum(whz, 0.0) / (PI * s))
+
+
+def _cltc_sample(roughness, wo, u0, u1):
+    a, b, c, d = _cltc_coeffs(wo[2], roughness)
+    radius = jnp.sqrt(u0)
+    phi = TWO_PI * u1
+    x = radius * jnp.cos(phi)
+    y = radius * jnp.sin(phi)
+    vz = 1.0 / jnp.sqrt(d * d + 1.0)
+    s = 0.5 * (1.0 + vz)
+    x = -_lerp(jnp.sqrt(_gsafe(1.0 - y * y)), x, s)
+    whz = jnp.sqrt(_gsafe(1.0 - (x * x + y * y)))
+    wi = (a * x + b * whz, c * y, d * x + whz)
+    cx, sx = _ltc_tangent(wo)
+    wx = cx * wi[0] - sx * wi[1]
+    wy = sx * wi[0] + cx * wi[1]
+    return _normalize((wx, wy, wi[2]))
+
+
+def _eon_pdf(roughness, wo, wi):
+    u_prob = _eon_uniform_probability(roughness, wo[2])
+    return u_prob * (0.5 * INV_PI) + (1.0 - u_prob) * _cltc_pdf(roughness, wo, wi)
+
+
+def _eon_sample(roughness, wo, u0, u1):
+    """→ wi (pdf/f evaluated by the caller via evaluate-all)."""
+    u_prob = _eon_uniform_probability(roughness, wo[2])
+    pick_uniform = u0 <= u_prob
+    ux_uniform = u0 / jnp.maximum(u_prob, 1e-7)
+    ux_cltc = (u0 - u_prob) / jnp.maximum(1.0 - u_prob, 1e-7)
+    ux = jnp.clip(jnp.where(pick_uniform, ux_uniform, ux_cltc), 0.0, 1.0 - 1e-7)
+    # uniform hemisphere
+    z = ux
+    r = jnp.sqrt(_gsafe(1.0 - z * z))
+    phi = TWO_PI * u1
+    wi_uni = (r * jnp.cos(phi), r * jnp.sin(phi), z)
+    wi_cltc = _cltc_sample(roughness, wo, ux, u1)
+    return _where3(pick_uniform, wi_uni, wi_cltc)
+
+
+# ---------------------------------------------------------------------------
+# DefaultShading without coat (shading/default_shading.py, tile form)
+# ---------------------------------------------------------------------------
+
+class _Shading:
+    """Per-lane constructed DefaultShading state (tiles)."""
+
+    __slots__ = ("diffuse_tint", "roughness", "alpha", "specularity",
+                 "specular_scale", "specular_probability")
+
+    def __init__(self, diffuse_tint, roughness, alpha, specularity,
+                 specular_scale, specular_probability):
+        self.diffuse_tint = diffuse_tint
+        self.roughness = roughness
+        self.alpha = alpha
+        self.specularity = specularity
+        self.specular_scale = specular_scale
+        self.specular_probability = specular_probability
+
+
+def _shading_create(ggx_ref, fresnel_ref, tint3, roughness, specularity,
+                    metallic, abs_cos_theta_o):
+    base = _rho_lookup_rows(fresnel_ref, abs_cos_theta_o, roughness)
+    full = _rho_lookup_rows(ggx_ref, abs_cos_theta_o, roughness)
+    reflection_scale = 1.0 / jnp.maximum(full, 1e-5)
+    rho = _lerp(base, full, specularity) * reflection_scale
+    diel_transmission = 1.0 - rho
+    dielectric_tint = _scale(tint3, diel_transmission)
+    m_spec = (_lerp(specularity, tint3[0], metallic),
+              _lerp(specularity, tint3[1], metallic),
+              _lerp(specularity, tint3[2], metallic))
+    one_minus_metal = 1.0 - metallic
+    diffuse_tint = _scale(dielectric_tint, one_minus_metal)
+    spec_rho = (_lerp(base, full, m_spec[0]) * reflection_scale,
+                _lerp(base, full, m_spec[1]) * reflection_scale,
+                _lerp(base, full, m_spec[2]) * reflection_scale)
+    diffuse_rho_sum = diffuse_tint[0] + diffuse_tint[1] + diffuse_tint[2]
+    specular_rho_sum = spec_rho[0] + spec_rho[1] + spec_rho[2]
+    recip = 1.0 / jnp.maximum(diffuse_rho_sum + specular_rho_sum, 1e-9)
+    alpha = jnp.maximum(MIN_ALPHA, roughness * roughness)
+    return _Shading(diffuse_tint, roughness, alpha, m_spec,
+                    reflection_scale, specular_rho_sum * recip)
+
+
+def _shading_evaluate_with_pdf(sh: _Shading, wo, wi):
+    frontside = (wo[2] > _MIN_COS) & (wi[2] > _MIN_COS)
+    d_scalar = _eon_evaluate_scalar(sh.roughness, wo, wi)
+    d_pdf = _eon_pdf(sh.roughness, wo, wi)
+    s_f = _ggx_r_evaluate(sh.alpha, sh.specularity, wo, wi)
+    s_pdf = _ggx_r_pdf(sh.alpha, wo, wi)
+    sp = sh.specular_probability
+    f = _add(_scale(sh.diffuse_tint, d_scalar), _scale(s_f, sh.specular_scale))
+    pdf = d_pdf * (1.0 - sp) + s_pdf * sp
+    zero = jnp.zeros_like(pdf)
+    return (_where3(frontside, f, (zero, zero, zero)),
+            jnp.where(frontside, pdf, 0.0))
+
+
+def _shading_sample(sh: _Shading, wo, u0, u1, u2):
+    sample_specular = u2 < sh.specular_probability
+    wi_dif = _eon_sample(sh.roughness, wo, u0, u1)
+    wi_spec, spec_pdf, spec_delta, spec_f = _ggx_r_sample(
+        sh.alpha, sh.specularity, wo, u0, u1)
+    wi = _where3(sample_specular, wi_spec, wi_dif)
+    f, pdf = _shading_evaluate_with_pdf(sh, wo, wi)
+    frontside = wo[2] > _MIN_COS
+    pdf = jnp.where(frontside, pdf, 0.0)
+    is_delta = sample_specular & spec_delta
+    pdf = jnp.where(is_delta, sh.specular_probability, pdf)
+    f = _where3(is_delta, _scale(spec_f, sh.specular_scale), f)
+    return wi, pdf, is_delta & frontside, f
+
+
+# ---------------------------------------------------------------------------
+# Trace (dense Möller-Trumbore over the VMEM triangle table, per sublane row)
+# ---------------------------------------------------------------------------
+
+def _trace_row(tri_ref, n_tris, o, d, t_min, t_max_row, chunk=256,
+               any_hit=False):
+    """One (1,128) ray row vs all triangles. o/d: tuples of (1,128); t_min
+    scalar-like tile (1,128); t_max_row (1,128).
+
+    Returns (t, prim_f32, u, v) each (1,128); prim < 0 on miss — or a
+    single occlusion mask (1,128) when ``any_hit``.
+    """
+    t_pad = tri_ref.shape[0]
+    n_chunks = (t_pad + chunk - 1) // chunk
+    best_t = jnp.full((1, 128), _BIG, jnp.float32)
+    best_prim = jnp.full((1, 128), -1.0, jnp.float32)
+    best_u = jnp.zeros((1, 128), jnp.float32)
+    best_v = jnp.zeros((1, 128), jnp.float32)
+    occluded = jnp.zeros((1, 128), jnp.float32)
+    for ci in range(n_chunks):
+        c0 = ci * chunk
+        c = min(chunk, t_pad - c0)
+        tri = tri_ref[c0:c0 + c, :]                 # (c, 16)
+        v0 = (tri[:, 0:1], tri[:, 1:2], tri[:, 2:3])
+        e1 = (tri[:, 3:4], tri[:, 4:5], tri[:, 5:6])
+        e2 = (tri[:, 6:7], tri[:, 7:8], tri[:, 8:9])
+        # (c,1) × (1,128) broadcasting.
+        px = d[1] * e2[2] - d[2] * e2[1]
+        py = d[2] * e2[0] - d[0] * e2[2]
+        pz = d[0] * e2[1] - d[1] * e2[0]
+        det = e1[0] * px + e1[1] * py + e1[2] * pz
+        inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0, 0.0) / jnp.where(
+            det == 0.0, 1.0, det)
+        tx = o[0] - v0[0]
+        ty = o[1] - v0[1]
+        tz = o[2] - v0[2]
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        qx = ty * e1[2] - tz * e1[1]
+        qy = tz * e1[0] - tx * e1[2]
+        qz = tx * e1[1] - ty * e1[0]
+        v = (d[0] * qx + d[1] * qy + d[2] * qz) * inv_det
+        t = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * inv_det
+        tri_id = (np.float32(c0)
+                  + jax.lax.broadcasted_iota(jnp.int32, (c, 128), 0
+                                             ).astype(jnp.float32))
+        valid = ((jnp.abs(det) > 1e-9) & (u >= 0.0) & (v >= 0.0)
+                 & (u + v <= 1.0) & (t > t_min) & (t < t_max_row)
+                 & (tri_id < np.float32(n_tris)))
+        if any_hit:
+            occluded = jnp.maximum(
+                occluded,
+                jnp.max(jnp.where(valid, 1.0, 0.0), axis=0, keepdims=True))
+            continue
+        t = jnp.where(valid, t, _BIG)
+        row_best = jnp.min(t, axis=0, keepdims=True)            # (1,128)
+        closer = row_best < best_t
+        is_min = (t == row_best) & valid
+        prim_c = jnp.min(jnp.where(is_min, tri_id, _BIG), axis=0,
+                         keepdims=True)
+        sel = is_min & (tri_id == prim_c)
+        pick_u = jnp.max(jnp.where(sel, u, -_BIG), axis=0, keepdims=True)
+        pick_v = jnp.max(jnp.where(sel, v, -_BIG), axis=0, keepdims=True)
+        best_prim = jnp.where(closer, prim_c, best_prim)
+        best_u = jnp.where(closer, pick_u, best_u)
+        best_v = jnp.where(closer, pick_v, best_v)
+        best_t = jnp.where(closer, row_best, best_t)
+    if any_hit:
+        return occluded
+    return best_t, best_prim, best_u, best_v
+
+
+def _trace(tri_ref, n_tris, o, d, t_min_tile, t_max):
+    """Full (8,128) trace: per-row loop over sublanes. Returns
+    (t, prim, u, v) (8,128) tiles, prim f32 (-1 = miss, t = _BIG)."""
+    ts, ps, us, vs = [], [], [], []
+    for s in range(8):
+        o_row = (o[0][s:s + 1, :], o[1][s:s + 1, :], o[2][s:s + 1, :])
+        d_row = (d[0][s:s + 1, :], d[1][s:s + 1, :], d[2][s:s + 1, :])
+        tmax_row = t_max[s:s + 1, :] if t_max is not None \
+            else jnp.full((1, 128), _BIG, jnp.float32)
+        t, p, u, v = _trace_row(tri_ref, n_tris, o_row, d_row,
+                                t_min_tile[s:s + 1, :], tmax_row)
+        ts.append(t)
+        ps.append(p)
+        us.append(u)
+        vs.append(v)
+    return (jnp.concatenate(ts, axis=0), jnp.concatenate(ps, axis=0),
+            jnp.concatenate(us, axis=0), jnp.concatenate(vs, axis=0))
+
+
+def _trace_any(tri_ref, n_tris, o, d, t_min_tile, t_max):
+    rows = []
+    for s in range(8):
+        o_row = (o[0][s:s + 1, :], o[1][s:s + 1, :], o[2][s:s + 1, :])
+        d_row = (d[0][s:s + 1, :], d[1][s:s + 1, :], d[2][s:s + 1, :])
+        rows.append(_trace_row(tri_ref, n_tris, o_row, d_row,
+                               t_min_tile[s:s + 1, :], t_max[s:s + 1, :],
+                               any_hit=True))
+    return jnp.concatenate(rows, axis=0) > 0.0
+
+
+def _fetch_attrs(attr_ref, prim):
+    """One-hot MXU attribute fetch: (A, T) @ (T, 128) per sublane row →
+    list of A (8,128) tiles."""
+    a_rows, t_pad = attr_ref.shape
+    tab = attr_ref[:, :]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (t_pad, 128), 0).astype(jnp.float32)
+    per_attr = [[] for _ in range(a_rows)]
+    for s in range(8):
+        onehot = (iota == jnp.maximum(prim[s:s + 1, :], 0.0)).astype(
+            jnp.float32)
+        rows = jax.lax.dot_general(
+            tab, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)          # (A, 128)
+        for a in range(a_rows):
+            per_attr[a].append(rows[a:a + 1, :])
+    return [jnp.concatenate(per_attr[a], axis=0) for a in range(a_rows)]
+
+
+# ---------------------------------------------------------------------------
+# Lights (sphere cone sampling + directional; lights SMEM (L, 12))
+# ---------------------------------------------------------------------------
+
+def _light_columns(lights_ref, k):
+    """SMEM scalars of light k: kind handled statically by the caller."""
+    return dict(
+        px=lights_ref[k, 0], py=lights_ref[k, 1], pz=lights_ref[k, 2],
+        radius=lights_ref[k, 3],
+        pwx=lights_ref[k, 4], pwy=lights_ref[k, 5], pwz=lights_ref[k, 6],
+        dx=lights_ref[k, 7], dy=lights_ref[k, 8], dz=lights_ref[k, 9])
+
+
+def _sphere_light_sample(L, lit, u0, u1):
+    """lights/analytic.py sphere_light_sample, one light, tile lanes.
+    Returns (dir3, dist, radiance3, pdf, is_delta)."""
+    to_center = (L["px"] - lit[0], L["py"] - lit[1], L["pz"] - lit[2])
+    dist2 = _dot(to_center, to_center)
+    radius = L["radius"]
+    sin2 = radius * radius / jnp.maximum(dist2, 1e-10)
+    is_point = sin2 <= 0.0
+    cos_theta_max = jnp.sqrt(_gsafe(1.0 - sin2))
+    # cone sample about axis
+    cos_theta = (1.0 - u0) + u0 * cos_theta_max
+    sin_theta = jnp.sqrt(_gsafe(1.0 - cos_theta * cos_theta))
+    phi = TWO_PI * u1
+    cone_dir = (jnp.cos(phi) * sin_theta, jnp.sin(phi) * sin_theta, cos_theta)
+    axis = _normalize(to_center)
+    direction = _to_world(cone_dir, axis)
+    cone_p = 1.0 / (TWO_PI * jnp.maximum(1.0 - cos_theta_max, 1e-10))
+    # exact sphere t from the lit point
+    b = _dot(to_center, direction)
+    det = radius * radius - (dist2 - b * b)
+    sqrt_det = jnp.sqrt(_gsafe(det))
+    t = jnp.where(b - sqrt_det > 0, b - sqrt_det, b + sqrt_det)
+    t = jnp.where((det >= 0) & (t > 0), t, -1.0)
+    t = jnp.where(t <= 0.0, b, t)
+    area = 4.0 * PI * radius * radius
+    inv_rad = 1.0 / jnp.maximum(PI * area, 1e-10)
+    radiance_cone = (L["pwx"] * inv_rad, L["pwy"] * inv_rad,
+                     L["pwz"] * inv_rad)
+    # point fallback
+    dist = jnp.sqrt(_gsafe(dist2))
+    inv_p = 1.0 / (4.0 * PI * dist2)
+    radiance_point = (L["pwx"] * inv_p, L["pwy"] * inv_p, L["pwz"] * inv_p)
+    dir_point = _scale(to_center, 1.0 / jnp.maximum(dist, 1e-10))
+    t_point = dist - radius
+    direction = _where3(is_point, dir_point, direction)
+    distance = jnp.where(is_point, t_point, t) * (1.0 - 1e-6)
+    radiance = _where3(is_point, radiance_point, radiance_cone)
+    pdf = jnp.where(is_point, 1.0, cone_p)
+    return direction, distance, radiance, pdf, is_point
+
+
+def _sphere_light_pdf(L, lit, direction):
+    to_center = (L["px"] - lit[0], L["py"] - lit[1], L["pz"] - lit[2])
+    radius = L["radius"]
+    sin2 = radius * radius / jnp.maximum(_dot(to_center, to_center), 1e-10)
+    cos_theta_max = jnp.sqrt(_gsafe(1.0 - sin2))
+    cos_theta = _dot(direction, _normalize(to_center))
+    valid = (cos_theta >= cos_theta_max) & (sin2 > 0.0)
+    return jnp.where(
+        valid, 1.0 / (TWO_PI * jnp.maximum(1.0 - cos_theta_max, 1e-10)), 0.0)
+
+
+def _sphere_light_evaluate(L):
+    area = 4.0 * PI * L["radius"] * L["radius"]
+    inv = 1.0 / jnp.maximum(PI * area, 1e-10)
+    return (L["pwx"] * inv, L["pwy"] * inv, L["pwz"] * inv)
+
+
+def _ray_sphere_t_tile(o, d, L):
+    op = (L["px"] - o[0], L["py"] - o[1], L["pz"] - o[2])
+    b = _dot(op, d)
+    det = L["radius"] * L["radius"] - (_dot(op, op) - b * b)
+    sqrt_det = jnp.sqrt(_gsafe(det))
+    t = jnp.where(b - sqrt_det > 0, b - sqrt_det, b + sqrt_det)
+    return jnp.where((det >= 0) & (t > 0) & (L["radius"] > 0), t, _BIG)
+
+
+# ---------------------------------------------------------------------------
+# Kernel factory
+# ---------------------------------------------------------------------------
+
+def _make_kernel(cfg):
+    """cfg: dict with static scene/settings facts (see _pack_scene)."""
+    n_tris = cfg["n_tris"]
+    n_mats = cfg["n_mats"]
+    light_kinds = cfg["light_kinds"]          # tuple of ints (static)
+    n_lights = len(light_kinds)
+    n_iters = cfg["n_iters"]
+    max_bounce = cfg["max_bounce"]
+    ris_count = cfg["ris_count"]
+    firefly_clamp = cfg["firefly_clamp"]
+    delta_light_clamp = cfg["delta_light_clamp"]
+    DIM_NEE, DIM_BSDF, PER_BOUNCE = 1, 2, 8
+
+    def kernel(acc_ref, eps_ref, envt_ref, mats_ref, lights_ref,
+               tri_ref, attr_ref, rho_ggx_ref, rho_fres_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               hash_ref, act_ref, r_out, g_out, b_out, rays_out):
+        accumulation = acc_ref[0]
+        eps = eps_ref[0]
+        origin = (ox_ref[...], oy_ref[...], oz_ref[...])
+        direction = (dx_ref[...], dy_ref[...], dz_ref[...])
+        pixel_hash = hash_ref[...]
+        active = act_ref[...]                                    # f32 0/1
+        zero = jnp.zeros_like(active)
+        one = jnp.ones_like(active)
+        throughput = (one, one, one)
+        radiance = (zero, zero, zero)
+        bsdf_pdf = zero
+        bsdf_was_delta = one       # primary bounce: no MIS on first hit
+        bounce = jnp.zeros_like(pixel_hash)                      # u32
+        rays = zero
+
+        def step(it, carry):
+            (origin, direction, throughput, radiance, bsdf_pdf,
+             bsdf_was_delta, bounce, active, rays) = carry
+            live = active > 0.0
+            rays = rays + jnp.where(live, 2.0, 0.0)
+            eps_tile = jnp.full(LANES, 1.0, jnp.float32) * eps
+
+            t_hit, prim, hu, hv = _trace(tri_ref, n_tris, origin, direction,
+                                         eps_tile, None)
+            hit_mask = prim >= 0.0
+
+            # analytic sphere-light intersection (unrolled)
+            t_light = jnp.full(LANES, _BIG, jnp.float32)
+            light_idx = jnp.full(LANES, -1.0, jnp.float32)
+            for k, kind in enumerate(light_kinds):
+                if kind != LIGHT_SPHERE:
+                    continue
+                Lk = _light_columns(lights_ref, k)
+                tk = _ray_sphere_t_tile(origin, direction, Lk)
+                closer = tk < t_light
+                t_light = jnp.where(closer, tk, t_light)
+                light_idx = jnp.where(closer, np.float32(k), light_idx)
+
+            light_first = t_light < t_hit
+            mesh_hit = live & hit_mask & ~light_first
+            light_hit = live & light_first & (light_idx >= 0.0)
+            miss = live & ~hit_mask & ~light_first
+
+            # --- miss: environment tint ---
+            env = (envt_ref[0], envt_ref[1], envt_ref[2])
+            radiance = _add(radiance, _where3(
+                miss, (throughput[0] * env[0], throughput[1] * env[1],
+                       throughput[2] * env[2]), (zero, zero, zero)))
+
+            # --- analytic light hit with MIS ---
+            if any(k == LIGHT_SPHERE for k in light_kinds):
+                l_rad = (zero, zero, zero)
+                l_pdf = zero
+                for k, kind in enumerate(light_kinds):
+                    if kind != LIGHT_SPHERE:
+                        continue
+                    Lk = _light_columns(lights_ref, k)
+                    ev = _sphere_light_evaluate(Lk)
+                    pk = _sphere_light_pdf(Lk, origin, direction)
+                    sel = light_idx == np.float32(k)
+                    l_rad = _where3(sel, (ev[0] * one, ev[1] * one,
+                                          ev[2] * one), l_rad)
+                    l_pdf = jnp.where(sel, pk, l_pdf)
+                use_mis = bsdf_pdf > 0.0
+                w = jnp.where(use_mis, _mis_weight(bsdf_pdf, l_pdf), 1.0)
+                clamped = (jnp.minimum(throughput[0], firefly_clamp),
+                           jnp.minimum(throughput[1], firefly_clamp),
+                           jnp.minimum(throughput[2], firefly_clamp))
+                radiance = _add(radiance, _where3(
+                    light_hit, _scale(_mul(clamped, l_rad), w),
+                    (zero, zero, zero)))
+
+            # --- mesh-hit attributes ---
+            attrs = _fetch_attrs(attr_ref, prim)
+            bary0 = 1.0 - hu - hv
+            n0 = (attrs[0], attrs[1], attrs[2])
+            n1 = (attrs[3], attrs[4], attrs[5])
+            n2 = (attrs[6], attrs[7], attrs[8])
+            mat_idx = attrs[9]
+            geo_n = (attrs[10], attrs[11], attrs[12])
+            shading_n = _normalize(_add(
+                _add(_scale(n0, bary0), _scale(n1, hu)), _scale(n2, hv)))
+            t_safe = jnp.where(hit_mask, t_hit, 0.0)
+            position = _add(origin, _scale(direction, t_safe))
+
+            # --- material select-scan (SMEM scalars) ---
+            m_tint = (zero, zero, zero)
+            m_rough = zero
+            m_spec = zero
+            m_metal = zero
+            m_thin = zero
+            m_emis = (zero, zero, zero)
+            for k in range(n_mats):
+                sel = mat_idx == np.float32(k)
+                m_tint = _where3(sel, (mats_ref[k, 0] * one,
+                                       mats_ref[k, 1] * one,
+                                       mats_ref[k, 2] * one), m_tint)
+                m_rough = jnp.where(sel, mats_ref[k, 3], m_rough)
+                m_spec = jnp.where(sel, mats_ref[k, 4], m_spec)
+                m_metal = jnp.where(sel, mats_ref[k, 5], m_metal)
+                m_thin = jnp.where(sel, mats_ref[k, 6], m_thin)
+                m_emis = _where3(sel, (mats_ref[k, 7] * one,
+                                       mats_ref[k, 8] * one,
+                                       mats_ref[k, 9] * one), m_emis)
+            thin_walled = m_thin > 0.5
+
+            hit_from_front = _dot(geo_n, direction) < 0.0
+            backside_cull = ~hit_from_front & ~thin_walled
+            passthrough = mesh_hit & backside_cull
+            shade = mesh_hit & ~backside_cull
+
+            gf = _where3(hit_from_front, geo_n, _scale(geo_n, -1.0))
+            sn = _where3(hit_from_front, shading_n, _scale(shading_n, -1.0))
+            # fix_backfacing_shading_normal (Utils.h): target_cos 0.002
+            wo_world = _scale(direction, -1.0)
+            cos_w = _dot(wo_world, sn)
+            fixed = _normalize(_sub(sn, _scale(wo_world, cos_w - 0.002)))
+            sn = _where3(cos_w < 0.002, fixed, sn)
+
+            wo = _to_local(wo_world, sn)
+            cos_theta_o = jnp.where(hit_from_front | thin_walled,
+                                    wo[2], -wo[2])
+
+            sh = _shading_create(rho_ggx_ref, rho_fres_ref, m_tint, m_rough,
+                                 m_spec, m_metal, jnp.abs(cos_theta_o))
+
+            # surface emission
+            radiance = _add(radiance, _where3(
+                shade, _mul(throughput, m_emis), (zero, zero, zero)))
+
+            # --- RNG ---
+            dim_bsdf = bounce * jnp.uint32(PER_BOUNCE) + jnp.uint32(DIM_BSDF)
+            u_bsdf = _path_rng_4d(accumulation, pixel_hash, dim_bsdf)
+            dim_nee = bounce * jnp.uint32(PER_BOUNCE) + jnp.uint32(DIM_NEE)
+            u_nee = _path_rng_4d(accumulation, pixel_hash, dim_nee)
+
+            # --- NEE with RIS over ris_count candidates ---
+            res_dir = (zero, zero, zero)
+            res_dist = zero
+            res_rad = (zero, zero, zero)
+            res_valid = zero
+            if n_lights > 0 and ris_count > 0:
+                for s in range(ris_count):
+                    off = _RIS_OFFSETS[s]
+                    c0 = _toroidal_shift(u_nee[0], off[0])
+                    c1 = _toroidal_shift(u_nee[1], off[1])
+                    c2 = _toroidal_shift(u_nee[2], off[2])
+                    c3 = _toroidal_shift(u_nee[3], off[3])
+                    pick = jnp.minimum(
+                        jnp.floor(c2 * np.float32(n_lights)),
+                        np.float32(n_lights - 1))
+                    ls_dir = (zero, zero, zero)
+                    ls_dist = zero
+                    ls_rad = (zero, zero, zero)
+                    ls_pdf = zero
+                    ls_delta = zero
+                    for k, kind in enumerate(light_kinds):
+                        Lk = _light_columns(lights_ref, k)
+                        if kind == LIGHT_SPHERE:
+                            (kd, kdist, krad, kpdf,
+                             kdelta) = _sphere_light_sample(
+                                Lk, position, c0, c1)
+                            kdelta_f = jnp.where(kdelta, 1.0, 0.0)
+                        else:  # LIGHT_DIRECTIONAL
+                            kd = (-Lk["dx"] * one, -Lk["dy"] * one,
+                                  -Lk["dz"] * one)
+                            kdist = jnp.full(LANES, 1e30, jnp.float32)
+                            krad = (Lk["pwx"] * one, Lk["pwy"] * one,
+                                    Lk["pwz"] * one)
+                            kpdf = one
+                            kdelta_f = one
+                        sel = pick == np.float32(k)
+                        ls_dir = _where3(sel, kd, ls_dir)
+                        ls_dist = jnp.where(sel, kdist, ls_dist)
+                        ls_rad = _where3(sel, krad, ls_rad)
+                        ls_pdf = jnp.where(sel, kpdf, ls_pdf)
+                        ls_delta = jnp.where(sel, kdelta_f, ls_delta)
+                    # uniform light pick + |N·L|/pdf + MIS + material f
+                    cand = _scale(ls_rad, np.float32(n_lights))
+                    n_dot_l = _dot(sn, ls_dir)
+                    safe_pdf = jnp.maximum(ls_pdf, 1e-12)
+                    cand = _scale(cand, jnp.abs(n_dot_l) / safe_pdf)
+                    cand = _where3(ls_pdf > 0.0, cand, (zero, zero, zero))
+                    wi_c = _to_local(ls_dir, sn)
+                    f_c, bsdf_pdf_c = _shading_evaluate_with_pdf(sh, wo, wi_c)
+                    is_d = ls_delta > 0.5
+                    w = jnp.where(is_d, 1.0,
+                                  _mis_weight(ls_pdf, bsdf_pdf_c))
+                    f_c = _where3(is_d,
+                                  (jnp.minimum(f_c[0], delta_light_clamp),
+                                   jnp.minimum(f_c[1], delta_light_clamp),
+                                   jnp.minimum(f_c[2], delta_light_clamp)),
+                                  f_c)
+                    cand = _scale(_mul(cand, f_c), w)
+                    cand_valid = jnp.where(ls_pdf > 1e-6, 1.0, 0.0)
+                    # reservoir update (path_tracer._reestimated_light_samples)
+                    w_old = res_rad[0] + res_rad[1] + res_rad[2]
+                    w_new = cand[0] + cand[1] + cand[2]
+                    any_w = w_old + w_new > 0.0
+                    p_new = w_new / jnp.where(any_w, w_old + w_new, 1.0)
+                    take = c3 < p_new
+                    res_dir = _where3(take, ls_dir, res_dir)
+                    res_dist = jnp.where(take, ls_dist, res_dist)
+                    res_valid = jnp.where(take, cand_valid, res_valid)
+                    denom = jnp.where(take, p_new, 1.0 - p_new)
+                    denom = jnp.where(any_w & (denom > 1e-20), denom, 1.0)
+                    kept = _scale(_where3(take, cand, res_rad), 1.0 / denom)
+                    res_rad = _where3(any_w, kept, (zero, zero, zero))
+                res_rad = _scale(res_rad, np.float32(1.0 / ris_count))
+
+                l_radiance = _mul(res_rad, throughput)
+                side = jnp.where(_dot(res_dir, gf) >= 0.0, 1.0, -1.0)
+                shadow_origin = _offset_ray_origin(position, _scale(gf, side))
+                has_light = shade & (_max3(l_radiance) > 0.0)
+                occluded = _trace_any(tri_ref, n_tris, shadow_origin,
+                                      res_dir, eps_tile,
+                                      res_dist * (1.0 - 1e-4))
+                trans = jnp.where(occluded, 0.0, 1.0)
+                radiance = _add(radiance, _where3(
+                    has_light, _scale(l_radiance, trans), (zero, zero, zero)))
+            nee_valid = res_valid > 0.5
+
+            # --- BSDF sampling ---
+            wi, s_pdf, s_delta, s_f = _shading_sample(
+                sh, wo, u_bsdf[0], u_bsdf[1], u_bsdf[2])
+            new_dir = _to_world(wi, sn)
+            is_reflection = wi[2] >= 0.0
+            cos_geo = _dot(new_dir, gf)
+            # Boolean algebra, not where(cond, bool, bool): Mosaic cannot
+            # legalize selects over vector<i1> operands (cf. pallas_smallpt).
+            wrong_side = ((is_reflection & (cos_geo < 0.0))
+                          | (~is_reflection & (cos_geo >= 0.0)))
+            new_dir = _where3(wrong_side, _reflect(new_dir, gf), new_dir)
+
+            valid_sample = s_pdf > 0.0
+            weight = jnp.abs(wi[2]) / jnp.maximum(s_pdf, 1e-12)
+            new_T = _scale(_mul(throughput, s_f), weight)
+            new_T = _where3(valid_sample, new_T, (zero, zero, zero))
+            b_side = jnp.where(_dot(new_dir, gf) >= 0.0, 1.0, -1.0)
+            new_origin = _offset_ray_origin(position, _scale(gf, b_side))
+            new_bsdf_pdf = jnp.where(s_delta | ~nee_valid, 0.0, s_pdf)
+
+            # --- combine lane updates ---
+            pass_origin = _offset_ray_origin(position, _scale(gf, -1.0))
+            origin = _where3(shade, new_origin,
+                             _where3(passthrough, pass_origin, origin))
+            direction = _where3(shade, new_dir, direction)
+            throughput = _where3(shade, new_T, throughput)
+            bsdf_pdf = jnp.where(shade, new_bsdf_pdf, bsdf_pdf)
+            bsdf_was_delta = jnp.where(shade, jnp.where(s_delta, 1.0, 0.0),
+                                       bsdf_was_delta)
+            bounce = jnp.where(shade, bounce + jnp.uint32(1), bounce)
+            still = jnp.where(shade, jnp.where(_max3(throughput) > 0.0,
+                                               1.0, 0.0), 1.0)
+            active = jnp.where(
+                live & ~miss & ~light_hit & (still > 0.0)
+                & (bounce <= jnp.uint32(max_bounce)), 1.0, 0.0)
+            return (origin, direction, throughput, radiance, bsdf_pdf,
+                    bsdf_was_delta, bounce, active, rays)
+
+        carry = (origin, direction, throughput, radiance, bsdf_pdf,
+                 bsdf_was_delta, bounce, active, rays)
+        carry = jax.lax.fori_loop(0, n_iters, step, carry)
+        radiance = carry[3]
+        r_out[...] = radiance[0]
+        g_out[...] = radiance[1]
+        b_out[...] = radiance[2]
+        rays_out[...] = carry[8]
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Packing + eligibility + entry point
+# ---------------------------------------------------------------------------
+
+_PACK_CACHE = {}
+
+
+def mesh_megakernel_eligible(scene: RenderScene,
+                             settings: RenderSettings) -> bool:
+    """Static gate: True when the scene/settings combination is within this
+    kernel's v1 scope (see module docstring). Everything else renders
+    through the XLA wavefront."""
+    try:
+        t = int(scene.tri_verts.shape[0])
+        if t == 0 or t > MAX_TRIS:
+            return False
+        if scene.environment is not None:
+            return False
+        mats = scene.materials
+        if mats.count == 0 or mats.count > MAX_MATERIALS:
+            return False
+        if not bool(np.all(np.asarray(mats.shading_model) == 0)):
+            return False
+        if not bool(np.all(np.asarray(mats.coat) == 0.0)):
+            return False
+        if not bool(np.all(np.asarray(mats.coverage) == 1.0)):
+            return False
+        if bool(np.any(np.asarray(mats.flags) & 2)):   # FLAG_CUTOUT
+            return False
+        for tex in (mats.tint_roughness_texture, mats.metallic_texture,
+                    mats.coverage_texture):
+            if bool(np.any(np.asarray(tex) >= 0)):
+                return False
+        if not bool(np.all(np.asarray(scene.tri_tint_roughness) == 1.0)):
+            return False
+        kinds = np.asarray(scene.lights.kind)
+        if kinds.shape[0] > MAX_LIGHTS:
+            return False
+        if not bool(np.all((kinds == LIGHT_SPHERE)
+                           | (kinds == LIGHT_DIRECTIONAL))):
+            return False
+        if settings.path_regularization_scale > 0.0:
+            return False
+        if settings.next_event_sample_count > 8:
+            return False
+        return True
+    except (AttributeError, TypeError):
+        return False
+
+
+def _pack_scene(scene: RenderScene):
+    """Host-side tables for the kernel, cached per scene identity."""
+    key = (id(scene.tri_verts), id(scene.materials.tint),
+           id(scene.lights.kind))
+    if key in _PACK_CACHE:
+        return _PACK_CACHE[key]
+    tv = np.asarray(scene.tri_verts, np.float32)        # [t, 3, 3]
+    t = tv.shape[0]
+    t_pad = max(8, ((t + 7) // 8) * 8)
+    v0 = tv[:, 0]
+    e1 = tv[:, 1] - tv[:, 0]
+    e2 = tv[:, 2] - tv[:, 0]
+    tri = np.zeros((t_pad, 16), np.float32)
+    tri[:t, 0:3] = v0
+    tri[:t, 3:6] = e1
+    tri[:t, 6:9] = e2
+
+    from bifrost3d_tpu.math.octahedral import octahedral_decode
+    corner_n = np.asarray(octahedral_decode(scene.tri_normals_oct),
+                          np.float32)                    # [t, 3, 3]
+    geo_n = np.cross(e1, e2)
+    geo_n /= np.maximum(np.linalg.norm(geo_n, axis=-1, keepdims=True), 1e-20)
+    attr = np.zeros((16, t_pad), np.float32)
+    attr[0:9, :t] = corner_n.reshape(t, 9).T
+    attr[9, :t] = np.asarray(scene.tri_material, np.float32)
+    attr[10:13, :t] = geo_n.T
+
+    mats = scene.materials
+    m = mats.count
+    mat_tab = np.zeros((max(m, 1), 12), np.float32)
+    mat_tab[:m, 0:3] = np.asarray(mats.tint)
+    mat_tab[:m, 3] = np.asarray(mats.roughness)
+    mat_tab[:m, 4] = np.asarray(mats.specularity)
+    mat_tab[:m, 5] = np.asarray(mats.metallic)
+    # Cutouts are implicitly thin-walled (Types.h:384) — irrelevant here
+    # (cutouts are gated out), flag 1 = ThinWalled.
+    mat_tab[:m, 6] = (np.asarray(mats.flags) & 1).astype(np.float32)
+    mat_tab[:m, 7:10] = np.asarray(mats.emission)
+
+    lights = scene.lights
+    n_l = lights.count
+    light_tab = np.zeros((max(n_l, 1), 12), np.float32)
+    if n_l:
+        light_tab[:n_l, 0:3] = np.asarray(lights.position)
+        light_tab[:n_l, 3] = np.asarray(lights.radius)
+        light_tab[:n_l, 4:7] = np.asarray(lights.power)
+        light_tab[:n_l, 7:10] = np.asarray(lights.direction)
+    light_kinds = tuple(int(k) for k in np.asarray(lights.kind))
+
+    from bifrost3d_tpu.shading.fittings import get_fittings
+    f = get_fittings()
+    rho_ggx = np.asarray(f.ggx, np.float32)
+    rho_fres = np.asarray(f.ggx_with_fresnel, np.float32)
+
+    packed = dict(
+        tri=jnp.asarray(tri), attr=jnp.asarray(attr),
+        mats=jnp.asarray(mat_tab), lights=jnp.asarray(light_tab),
+        rho_ggx=jnp.asarray(rho_ggx), rho_fres=jnp.asarray(rho_fres),
+        n_tris=t, n_mats=m, light_kinds=light_kinds,
+        env_tint=jnp.asarray(scene.environment_tint, jnp.float32),
+        eps=jnp.asarray(scene.scene_epsilon, jnp.float32).reshape(1),
+    )
+    _PACK_CACHE[key] = packed
+    return packed
+
+
+def render_mesh_megakernel(scene: RenderScene, camera, width: int,
+                           height: int, accumulation,
+                           settings: RenderSettings = RenderSettings(),
+                           interpret: bool = False):
+    """One progressive frame through the mesh megakernel →
+    (radiance [height, width, 3], rays [] f32 — live lanes × 2/iteration,
+    the same in-run tally the pooled wavefront reports).
+
+    Packs the scene host-side (cached per scene identity), then dispatches
+    the jitted kernel launch."""
+    packed = _pack_scene(scene)
+    return _render_packed(
+        packed["tri"], packed["attr"], packed["mats"], packed["lights"],
+        packed["rho_ggx"], packed["rho_fres"], packed["env_tint"],
+        packed["eps"], camera, accumulation,
+        width=width, height=height,
+        n_tris=packed["n_tris"], n_mats=packed["n_mats"],
+        light_kinds=packed["light_kinds"], settings=settings,
+        interpret=interpret)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "n_tris", "n_mats",
+                                   "light_kinds", "settings", "interpret"))
+def _render_packed(tri, attr, mats, lights, rho_ggx, rho_fres, env_tint,
+                   eps, camera, accumulation, *, width: int, height: int,
+                   n_tris: int, n_mats: int, light_kinds: tuple,
+                   settings: RenderSettings, interpret: bool):
+    from bifrost3d_tpu.sampling.hashes import pcg2d
+    from bifrost3d_tpu.sampling.sobol import Dimension, path_rng_4d
+    from bifrost3d_tpu.scene.camera import camera_ray_directions
+
+    accumulation = jnp.asarray(accumulation, jnp.uint32)
+
+    n_pixels = width * height
+    per_block = LANES[0] * LANES[1]
+    n_blocks = (n_pixels + per_block - 1) // per_block
+    flat = jnp.arange(n_blocks * per_block, dtype=jnp.uint32)
+    in_range = flat < n_pixels
+    safe = jnp.minimum(flat, n_pixels - 1)
+    x = safe % width
+    y = safe // width
+    pixel_hash, _ = pcg2d(x, y)
+    u_cam = path_rng_4d(accumulation, pixel_hash, jnp.uint32(Dimension.CAMERA))
+    jitter = jnp.where(accumulation == 0, 0.5, u_cam[..., :2])
+    xf = (x.astype(jnp.float32) + jitter[..., 0]) / width
+    yf = 1.0 - (y.astype(jnp.float32) + jitter[..., 1]) / height
+    origin, direction = camera_ray_directions(
+        camera, jnp.stack([xf, yf], axis=-1))
+    active0 = (in_range & jnp.isfinite(origin[..., 0])).astype(jnp.float32)
+
+    def tile(a, dtype=jnp.float32):
+        return a.astype(dtype).reshape(n_blocks * LANES[0], LANES[1])
+
+    block = pl.BlockSpec((LANES[0], LANES[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    cfg = dict(
+        n_tris=n_tris, n_mats=n_mats,
+        light_kinds=light_kinds,
+        n_iters=settings.max_bounce_count + 1 + settings.passthrough_slack,
+        max_bounce=settings.max_bounce_count,
+        ris_count=settings.next_event_sample_count,
+        firefly_clamp=settings.firefly_clamp,
+        delta_light_clamp=settings.delta_light_clamp,
+    )
+    out_shape = [jax.ShapeDtypeStruct((n_blocks * LANES[0], LANES[1]),
+                                      jnp.float32)] * 4
+    r, g, b, rays = pl.pallas_call(
+        _make_kernel(cfg),
+        grid=(n_blocks,),
+        in_specs=[smem, smem, smem, smem, smem,
+                  vmem, vmem, vmem, vmem,
+                  block, block, block, block, block, block,
+                  block, block],
+        out_specs=[block] * 4,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(accumulation.reshape(1), eps, env_tint,
+      mats, lights,
+      tri, attr, rho_ggx, rho_fres,
+      tile(origin[..., 0]), tile(origin[..., 1]), tile(origin[..., 2]),
+      tile(direction[..., 0]), tile(direction[..., 1]),
+      tile(direction[..., 2]),
+      tile(pixel_hash, jnp.uint32), tile(active0))
+
+    img = jnp.stack([r.reshape(-1)[:n_pixels], g.reshape(-1)[:n_pixels],
+                     b.reshape(-1)[:n_pixels]], axis=-1)
+    return img.reshape(height, width, 3), jnp.sum(rays)

@@ -965,18 +965,45 @@ def render_sample(scene: RenderScene, camera: PinholeCamera,
         scene, camera, x, y, width, height, accumulation, settings)
 
 
+def render_sample_fast(scene: RenderScene, camera: PinholeCamera,
+                       width: int, height: int, accumulation,
+                       settings: RenderSettings = RenderSettings(),
+                       pool_size: int = 65536):
+    """Fastest forward frame for the current backend/scene — the product
+    dispatch (static, costs nothing under jit):
+
+    - TPU + megakernel-eligible scene → the Pallas mesh megakernel
+      (integrator/pallas_mesh.py): the whole path in one kernel, ~3× the
+      pooled wavefront on the CornellBox flagship.
+    - otherwise → the pooled compacting wavefront (the r3 product path).
+
+    Forward-only; the differentiable path stays :func:`render_sample`.
+    """
+    import jax
+    if jax.default_backend() == "tpu":
+        from bifrost3d_tpu.integrator.pallas_mesh import (
+            mesh_megakernel_eligible, render_mesh_megakernel)
+        if mesh_megakernel_eligible(scene, settings):
+            img, _ = render_mesh_megakernel(scene, camera, width, height,
+                                            accumulation, settings)
+            return img
+    return render_sample_pooled(scene, camera, width, height,
+                                accumulation, settings, pool_size)
+
+
 def render_progressive(scene: RenderScene, camera: PinholeCamera,
                        width: int, height: int, accumulations: int,
                        settings: RenderSettings = RenderSettings(),
                        pool_size: int = 65536):
     """Progressive accumulation (lerp 1/(n+1), SimpleRGPs.cu:74-107).
 
-    Forward product path: runs each sample through the pooled compacting
-    wavefront (1.5-1.6× the dense fixed-iteration integrator on TPU).
+    Forward product path: each sample renders through
+    :func:`render_sample_fast` (mesh megakernel on TPU where eligible,
+    pooled compacting wavefront otherwise).
     """
     buffer = jnp.zeros((height, width, 3), jnp.float32)
     for n in range(accumulations):
-        frame = render_sample_pooled(scene, camera, width, height, n,
-                                     settings, pool_size)
+        frame = render_sample_fast(scene, camera, width, height, n,
+                                   settings, pool_size)
         buffer = buffer + (frame - buffer) / (n + 1)
     return buffer
