@@ -59,6 +59,10 @@ class Compositor:
         self._backends: Dict[Tuple[int, int], object] = {}
         self._scene = None
         self.camera_effects: Dict[int, CameraEffectsSettings] = {}
+        # Per-camera eye-adaptation exposure state (-1 = no history) and
+        # the tick delta handed to it; the engine tick updates _delta_time.
+        self._exposure_state: Dict[int, float] = {}
+        self._delta_time: float = 1.0 / 60.0
 
     def add_renderer(self, name: str, factory: RendererFactory) -> int:
         """Register a renderer; returns its ID for Cameras.set_renderer."""
@@ -119,7 +123,13 @@ class Compositor:
                     cameras.fill_screenshot(camera_uid, hdr, iterations)
             settings = self.camera_effects.get(
                 int(camera_uid), CameraEffectsSettings.preset())
-            ldr = process(hdr, settings)
+            # Temporal eye adaptation (CameraEffects.cpp:456-469): per-
+            # camera exposure state lerped toward the frame's target.
+            from bifrost3d_tpu.post.pipeline import process_stateful
+            prev = self._exposure_state.get(int(camera_uid), -1.0)
+            ldr, exposure = process_stateful(
+                hdr, settings, iterations, prev, self._delta_time)
+            self._exposure_state[int(camera_uid)] = exposure
             if cameras.is_screenshot_requested(camera_uid):
                 req = cameras._get(camera_uid).screenshot_request
                 if req.get("content", "hdr") == "ldr":
@@ -131,6 +141,13 @@ class Compositor:
         """Wire into the engine tick: render as non-mutating work, change-
         notification reset as tick cleanup (SimpleViewer main.cpp:298-308,
         Compositor render callback main.cpp:452)."""
-        engine.add_non_mutating_callback(lambda *_: self.render())
+        def _render(engine=None, *_):
+            if engine is not None and hasattr(engine, "time"):
+                dt = getattr(engine.time, "delta", None)
+                if dt:
+                    self._delta_time = float(dt)
+            self.render()
+
+        engine.add_non_mutating_callback(_render)
         engine.add_tick_cleanup_callback(
             lambda *_: self.data.reset_change_notifications())

@@ -324,3 +324,40 @@ def hierarchical_intersect(packed: HierTriangles, origin, direction,
     return Hit(t=jnp.where(miss, jnp.inf, t), prim=prim,
                u=jnp.where(miss, 0.0, u[:r, 0]),
                v=jnp.where(miss, 0.0, v[:r, 0]))
+
+
+@partial(jax.jit, static_argnames=("any_hit", "interpret"))
+def hierarchical_intersect_sorted(packed: HierTriangles, origin, direction,
+                                  t_min, t_max, any_hit: bool = False,
+                                  interpret: bool = False) -> Hit:
+    """:func:`hierarchical_intersect` behind an origin-Morton +
+    direction-octant pre-sort (results scattered back to input order).
+
+    The kernel's block-level culling assumes the 256-ray blocks agree on
+    which subtrees matter; incoherent ray sets (bounce waves, random
+    benchmarks) break that and collapse it to the linear scan. Sorting by
+    quantized origin + octant restores block coherence — the standalone
+    counterpart of the pooled wavefront's in-loop pool sort
+    (path_tracer.render_pixels_pooled, SURVEY §7.3 #1).
+    """
+    from bifrost3d_tpu.math.morton import morton_encode_3d
+
+    r = origin.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+    lo = packed.node_boxes[0, 0:3]
+    hi = packed.node_boxes[0, 3:6]
+    scale = 15.0 / jnp.maximum(hi - lo, 1e-20)
+    q = jnp.clip((origin - lo) * scale, 0.0, 15.0).astype(jnp.uint32)
+    m = morton_encode_3d(q[:, 0], q[:, 1], q[:, 2])
+    octant = ((direction[:, 0] < 0).astype(jnp.uint32) * 4
+              + (direction[:, 1] < 0).astype(jnp.uint32) * 2
+              + (direction[:, 2] < 0).astype(jnp.uint32))
+    order = jnp.argsort(((m << jnp.uint32(3)) | octant).astype(jnp.int32),
+                        stable=True)
+    hit = hierarchical_intersect(packed, origin[order], direction[order],
+                                 t_min[order], t_max[order],
+                                 any_hit=any_hit, interpret=interpret)
+    inverse = jnp.argsort(order)
+    return Hit(t=hit.t[inverse], prim=hit.prim[inverse],
+               u=hit.u[inverse], v=hit.v[inverse])

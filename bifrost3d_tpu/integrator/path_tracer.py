@@ -903,16 +903,28 @@ def render_pixels_pooled(scene: RenderScene, camera: PinholeCamera,
             for f, s in zip(fresh, state)))
 
         if settings.sort_rays_every:
-            # Direction-octant sort (inactive lanes last): keeps the trace
-            # kernel's ray blocks coherent so block-level BVH culling stays
-            # effective as bounce rays diverge (SURVEY §7.3 #1).
+            # Origin-Morton + direction-octant sort (inactive lanes last):
+            # keeps the trace kernel's 256-ray blocks SPATIALLY tight as
+            # well as directionally coherent, so block-level BVH culling
+            # stays effective after bounces scatter ray origins across the
+            # scene (SURVEY §7.3 #1; VERDICT r3 #2 — octant alone recovers
+            # only +12% because bounce rays from distant surfaces share
+            # octants but not subtrees).
             def sorted_pool(args):
+                from bifrost3d_tpu.math.morton import morton_encode_3d
                 st, pix = args
                 d = st.direction
-                key = ((d[:, 0] < 0).astype(jnp.int32) * 4
-                       + (d[:, 1] < 0).astype(jnp.int32) * 2
-                       + (d[:, 2] < 0).astype(jnp.int32)
-                       + jnp.where(st.active, 0, 8))
+                lo = scene.bvh.node_min[0]
+                hi = scene.bvh.node_max[0]
+                scale = 15.0 / jnp.maximum(hi - lo, 1e-20)
+                q = jnp.clip((st.origin - lo) * scale, 0.0, 15.0
+                             ).astype(jnp.uint32)
+                m = morton_encode_3d(q[:, 0], q[:, 1], q[:, 2])  # 12 bits
+                octant = ((d[:, 0] < 0).astype(jnp.uint32) * 4
+                          + (d[:, 1] < 0).astype(jnp.uint32) * 2
+                          + (d[:, 2] < 0).astype(jnp.uint32))
+                key = ((m << jnp.uint32(3)) | octant).astype(jnp.int32)
+                key = key + jnp.where(st.active, 0, 1 << 20)
                 order = jnp.argsort(key, stable=True)
                 return (jax.tree.map(lambda f: f[order], st), pix[order])
 

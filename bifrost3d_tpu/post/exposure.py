@@ -19,6 +19,18 @@ def fixed_exposure(log_luminance_bias=0.0):
     return jnp.exp2(jnp.asarray(log_luminance_bias, jnp.float32))
 
 
+def eye_adaptation(current_exposure, target_exposure, delta_time,
+                   brightness_speed=3.0, darkness_speed=1.0):
+    """Temporal eye adaptation (Shaders/CameraEffects/Utils.hlsl:45-50):
+    lerp the exposure toward the target with an exponential rate that
+    differs for brightening vs darkening (CameraEffects.h:71-73 defaults
+    3.0 / 1.0)."""
+    delta_exposure = target_exposure - current_exposure
+    speed = jnp.where(delta_exposure > 0.0, brightness_speed, darkness_speed)
+    factor = 1.0 - jnp.exp2(-jnp.asarray(delta_time, jnp.float32) * speed)
+    return current_exposure + delta_exposure * factor
+
+
 def _linear_exposure_from_average(average_luminance, log_luminance_bias):
     # Scale to key value 0.5 like the reference's eye-adaptation constant.
     key = 1.03 - 2.0 / (2.0 + jnp.log10(average_luminance + 1.0))

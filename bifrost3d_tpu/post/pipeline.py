@@ -12,8 +12,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from bifrost3d_tpu.post.bloom import gaussian_bloom
+from bifrost3d_tpu.post.bloom import dual_kawase_bloom, gaussian_bloom
 from bifrost3d_tpu.post.exposure import (
+    eye_adaptation,
     fixed_exposure,
     histogram_exposure,
     log_average_exposure,
@@ -37,11 +38,27 @@ def process(image, settings: CameraEffectsSettings = CameraEffectsSettings.prese
     64² image; jitted it is milliseconds). ``settings`` is static (plain
     Python scalars), so mode branches resolve at trace time.
     """
-    return _process_jit(image, settings, jnp.uint32(frame_index))
+    ldr, _ = _process_jit(image, settings, jnp.uint32(frame_index),
+                          jnp.float32(-1.0), jnp.float32(0.0))
+    return ldr
+
+
+def process_stateful(image, settings: CameraEffectsSettings,
+                     frame_index: int, previous_exposure, delta_time):
+    """Like :func:`process` but with temporal eye adaptation
+    (CameraEffects.cpp:456-469 + Utils.hlsl eye_adaptation): the exposure
+    lerps from ``previous_exposure`` toward the frame's target at the
+    settings' brightness/darkness speeds. Pass ``previous_exposure < 0``
+    on the first frame (adaptation snaps to the target). Returns
+    (ldr_image, applied_exposure) — feed the exposure back next frame."""
+    return _process_jit(image, settings, jnp.uint32(frame_index),
+                        jnp.asarray(previous_exposure, jnp.float32),
+                        jnp.asarray(delta_time, jnp.float32))
 
 
 @partial(jax.jit, static_argnames=("settings",))
-def _process_jit(image, settings: CameraEffectsSettings, frame_index):
+def _process_jit(image, settings: CameraEffectsSettings, frame_index,
+                 previous_exposure, delta_time):
     h, w = image.shape[0], image.shape[1]
 
     # 1) Exposure.
@@ -56,10 +73,23 @@ def _process_jit(image, settings: CameraEffectsSettings, frame_index):
             settings.log_luminance_bias)
     else:
         raise ValueError(f"unknown exposure mode {settings.exposure_mode}")
+    if settings.eye_adaptation_enabled:
+        adapted = eye_adaptation(previous_exposure, exposure, delta_time,
+                                 settings.eye_adaptation_brightness,
+                                 settings.eye_adaptation_darkness)
+        # previous < 0 = no history (first frame): snap to the target.
+        exposure = jnp.where(previous_exposure >= 0.0, adapted, exposure)
     image = image * exposure
 
     # 2) Bloom.
-    image = gaussian_bloom(image, settings.bloom_threshold, settings.bloom_support)
+    if settings.bloom_mode == 1:
+        half_passes = max(1, int(round(settings.bloom_support * h / 128.0))) \
+            if settings.bloom_support > 0 else 0
+        image = dual_kawase_bloom(image, settings.bloom_threshold,
+                                  half_passes)
+    else:
+        image = gaussian_bloom(image, settings.bloom_threshold,
+                               settings.bloom_support)
 
     # 3) Vignette (matching the DX11 tonemap pass's radial falloff).
     if settings.vignette > 0.0:
@@ -81,4 +111,4 @@ def _process_jit(image, settings: CameraEffectsSettings, frame_index):
         noise = uint_to_unit_float(hashv) - 0.5
         image = image + (2.0 * settings.film_grain) * noise[..., None]
 
-    return jnp.clip(image, 0.0, 1.0)
+    return jnp.clip(image, 0.0, 1.0), exposure

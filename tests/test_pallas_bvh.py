@@ -121,3 +121,22 @@ class TestHierarchicalIntersect:
                                      interpret=True)
         np.testing.assert_array_equal(np.asarray(ref.prim),
                                       np.asarray(got.prim))
+
+
+class TestSortedIntersect:
+    def test_sorted_matches_unsorted(self):
+        from bifrost3d_tpu.geometry.pallas_bvh import (
+            hierarchical_intersect_sorted)
+        tri = _soup(1200)
+        packed = pack_hierarchical(tri)
+        o, d = _rays(600, seed=5)
+        ref = hierarchical_intersect(packed, jnp.asarray(o), jnp.asarray(d),
+                                     1e-4, jnp.inf, interpret=True)
+        got = hierarchical_intersect_sorted(
+            packed, jnp.asarray(o), jnp.asarray(d), 1e-4, jnp.inf,
+            interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref.prim),
+                                      np.asarray(got.prim))
+        m = np.asarray(ref.prim) >= 0
+        np.testing.assert_allclose(np.asarray(ref.t)[m],
+                                   np.asarray(got.t)[m], rtol=1e-5)

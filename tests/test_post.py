@@ -132,3 +132,57 @@ class TestPipeline:
         img = jnp.full((32, 32, 3), 0.5)
         out = np.asarray(process(img, s))
         assert out[0, 0].mean() < out[16, 16].mean()
+
+
+def test_eye_adaptation_lerps_toward_target():
+    from bifrost3d_tpu.post.exposure import eye_adaptation
+    # Brightening uses the faster rate (3.0) than darkening (1.0).
+    up = float(eye_adaptation(1.0, 2.0, delta_time=0.1))
+    down = float(eye_adaptation(2.0, 1.0, delta_time=0.1))
+    assert 1.0 < up < 2.0
+    assert 1.0 < down < 2.0
+    assert (up - 1.0) > (2.0 - down)  # brightness adapts faster
+    # Large delta_time converges to the target.
+    assert abs(float(eye_adaptation(1.0, 2.0, 100.0)) - 2.0) < 1e-4
+
+
+def test_process_stateful_snaps_then_adapts():
+    import jax.numpy as jnp
+    from bifrost3d_tpu.post.pipeline import process_stateful
+    from bifrost3d_tpu.post.tonemap import CameraEffectsSettings
+
+    img = jnp.full((16, 16, 3), 0.25, jnp.float32)
+    settings = CameraEffectsSettings.preset()
+    _, e0 = process_stateful(img, settings, 0, -1.0, 1 / 60)
+    # Brighter scene → lower target exposure; adaptation moves only partway.
+    bright = img * 8.0
+    _, e1 = process_stateful(bright, settings, 1, e0, 1 / 60)
+    _, e_target = process_stateful(bright, settings, 1, -1.0, 1 / 60)
+    assert float(e_target) < float(e0)
+    assert float(e_target) < float(e1) < float(e0)
+
+
+def test_dual_kawase_bloom_conserves_energy_roughly():
+    import numpy as np
+    import jax.numpy as jnp
+    from bifrost3d_tpu.post.bloom import dual_kawase_bloom
+
+    img = jnp.zeros((64, 64, 3), jnp.float32).at[32, 32].set(10.0)
+    out = np.asarray(dual_kawase_bloom(img, threshold=0.5, half_passes=2))
+    assert np.isfinite(out).all()
+    # The bright spot spreads but total energy stays within a few percent
+    # (clamp-sampling at borders loses a little).
+    assert out.max() < 10.0
+    assert abs(out.sum() - float(img.sum())) / float(img.sum()) < 0.1
+    # Spread is symmetric-ish around the spot.
+    assert out[30, 32, 0] > 0.01 and out[34, 32, 0] > 0.01
+
+
+def test_dual_kawase_disabled_threshold():
+    import numpy as np
+    import jax.numpy as jnp
+    from bifrost3d_tpu.post.bloom import dual_kawase_bloom
+
+    img = jnp.ones((8, 8, 3), jnp.float32)
+    out = dual_kawase_bloom(img, threshold=np.inf, half_passes=2)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(img))
