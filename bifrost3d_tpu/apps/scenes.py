@@ -57,7 +57,7 @@ HALF_PI = PI / 2
 
 
 @host_build
-def create_cornell_box(environment_map=None):
+def create_cornell_box(environment_map=None, aspect=1.0):
     """CornellBox.h:23-120: red/green/white thin-walled 1-unit room, iron
     small box, copper tall box, sphere light (power 2, r 0.05) at ceiling."""
     mats = MaterialArray.build([
@@ -90,7 +90,7 @@ def create_cornell_box(environment_map=None):
     scene = build_render_scene(instances, mats, lights,
                                environment_map=environment_map)
     camera = perspective_camera(eye=(0, 0, -1.5), target=(0, 0, 0),
-                                fov_radians=PI / 4, aspect=1.0)
+                                fov_radians=PI / 4, aspect=aspect)
     return scene, camera
 
 
@@ -116,7 +116,7 @@ def _load_shader_ball_meshes():
 
 
 @host_build
-def create_material_scene(environment_map=None):
+def create_material_scene(environment_map=None, aspect=1.0):
     """Material.cpp create_material_scene: seven Mori shader balls sweeping
     from a teal dielectric (roughness 1) to gold metal (roughness 0.02),
     rubber inside, on the checkered floor, lit by one directional light."""
@@ -168,12 +168,12 @@ def create_material_scene(environment_map=None):
                                textures=textures)
     camera = perspective_camera(
         eye=(0, 5.5, -18.5), target=(0, 0.5, 0), fov_radians=PI / 4,
-        aspect=1.0)
+        aspect=aspect)
     return scene, camera
 
 
 @host_build
-def create_veach_scene(with_mesh_light: bool = False):
+def create_veach_scene(with_mesh_light: bool = False, aspect=1.0):
     """Veach.h:27: the classic MIS scene — four increasingly rough plates
     reflecting three sphere lights of increasing size and equal power."""
     material_dicts = [dielectric((0.4, 0.4, 0.4), 0.9)]
@@ -206,12 +206,12 @@ def create_veach_scene(with_mesh_light: bool = False):
     scene = build_render_scene(instances, mats, lights)
     camera = perspective_camera(
         eye=(0, 3.0, 3.0), target=(0, 1.8, -3.0), fov_radians=PI / 4,
-        aspect=1.0)
+        aspect=aspect)
     return scene, camera
 
 
 @host_build
-def create_sphere_scene():
+def create_sphere_scene(aspect=1.0):
     """Sphere.h: a single sphere on a plane under an environment."""
     mats = MaterialArray.build([
         dielectric((0.5, 0.5, 0.5), 0.8),
@@ -222,12 +222,12 @@ def create_sphere_scene():
     env = np.full((16, 32, 3), 0.8, F32)
     scene = build_render_scene(instances, mats, environment_map=env)
     camera = perspective_camera(eye=(0, 0.5, -2.5), target=(0, 0, 0),
-                                fov_radians=PI / 4, aspect=1.0)
+                                fov_radians=PI / 4, aspect=aspect)
     return scene, camera
 
 
 @host_build
-def create_sphere_light_scene():
+def create_sphere_light_scene(aspect=1.0):
     """SphereLight.h: a diffuse sphere lit by a large nearby sphere light."""
     mats = MaterialArray.build([dielectric((0.8, 0.8, 0.8), 0.7)])
     instances = [(make_sphere(radius=0.5), 0, _trs((0, 0, 0)))]
@@ -236,12 +236,12 @@ def create_sphere_light_scene():
          "power": (40.0, 40.0, 40.0)}])
     scene = build_render_scene(instances, mats, lights)
     camera = perspective_camera(eye=(0, 0.5, -2.5), target=(0, 0, 0),
-                                fov_radians=PI / 4, aspect=1.0)
+                                fov_radians=PI / 4, aspect=aspect)
     return scene, camera
 
 
 @host_build
-def create_glass_scene():
+def create_glass_scene(aspect=1.0):
     """GlassScene.h analogue: transmissive spheres over a checker-ish floor."""
     mats = MaterialArray.build([
         dielectric((0.6, 0.6, 0.6), 0.9),
@@ -257,7 +257,7 @@ def create_glass_scene():
     env = np.full((16, 32, 3), 0.3, F32)
     scene = build_render_scene(instances, mats, lights, environment_map=env)
     camera = perspective_camera(eye=(0, 0.6, -3.0), target=(0, 0, 0),
-                                fov_radians=PI / 4, aspect=1.0)
+                                fov_radians=PI / 4, aspect=aspect)
     return scene, camera
 
 
@@ -289,7 +289,7 @@ def _checkered_floor_parts(floor_size=400.0, checker_size=1.0,
 
 
 @host_build
-def create_opacity_scene():
+def create_opacity_scene(aspect=1.0):
     """Opacity.h: checkered floor, a 0.1-radius sphere light inside a
     17x17-grid CUTOUT box ("Swizz box"), and two thin-walled
     coverage-0.75 planes in front (Opacity.h:27-107)."""
@@ -327,12 +327,12 @@ def create_opacity_scene():
          "power": (50.0, 50.0, 50.0)}])
     scene = build_render_scene(instances, mats, lights, textures=textures)
     camera = perspective_camera(eye=(0, 1.0, -6.0), target=(0, 1.0, 0),
-                                fov_radians=PI / 4, aspect=1.0)
+                                fov_radians=PI / 4, aspect=aspect)
     return scene, camera
 
 
 @host_build
-def create_test_scene():
+def create_test_scene(aspect=1.0):
     """TestScene.h analogue: a mixed-material still life."""
     mats = MaterialArray.build([
         dielectric((0.6, 0.6, 0.6), 0.9),
@@ -350,7 +350,7 @@ def create_test_scene():
     env = np.full((16, 32, 3), 0.25, F32)
     scene = build_render_scene(instances, mats, lights, environment_map=env)
     camera = perspective_camera(eye=(0, 0.8, -3.0), target=(0, -0.1, 0),
-                                fov_radians=PI / 4, aspect=1.0)
+                                fov_radians=PI / 4, aspect=aspect)
     return scene, camera
 
 

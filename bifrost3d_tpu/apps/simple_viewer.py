@@ -109,7 +109,9 @@ def main(argv=None):
     tint = tuple(float(v) for v in args.environment_tint.split(","))
 
     if args.scene in SCENES:
-        scene, camera = SCENES[args.scene]()
+        # Window aspect feeds the camera like the reference's
+        # CameraViewportHandler (main.cpp:350).
+        scene, camera = SCENES[args.scene](aspect=width / height)
         if env is not None:
             from bifrost3d_tpu.lights.environment import build_environment_light
             scene = scene._replace(environment=build_environment_light(env))

@@ -23,9 +23,17 @@ control flow, TPU-friendly — and occlusion needs no special casing: an
 edge point hidden behind other geometry probes the same radiance on both
 sides, so ΔL = 0 cancels its contribution.
 
-Scope (first slice, matching the sphere module): PRIMARY silhouettes under
-object translation. Secondary silhouettes (shadow/indirect boundaries) and
-per-vertex velocities are future work.
+Scope (second slice, VERDICT r3 #4):
+- PRIMARY silhouettes under object translation
+  (:func:`edge_translation_gradient`) and under PER-VERTEX motion
+  (:func:`edge_vertex_gradient` — the same boundary integral with velocity
+  ∂q/∂v = barycentric-weighted ∂q/∂x, scatter-added per vertex).
+- SHADOW silhouettes (:func:`shadow_edge_translation_gradient`): a
+  translated blocker also sweeps its shadow boundary across receivers; the
+  boundary curve is the light-silhouette edge reprojected through the
+  light onto the receiver plane, with velocity obtained by chaining the
+  blocker velocity through the light-ray/receiver-plane intersection.
+Indirect (multi-bounce) discontinuities remain future work.
 """
 
 from __future__ import annotations
@@ -54,6 +62,8 @@ class MeshEdges(NamedTuple):
     n0: jnp.ndarray   # [e, 3] normal of one adjacent face
     n1: jnp.ndarray   # [e, 3] normal of the other (= -n0 for boundary
                       #        edges, so they always count as silhouette)
+    i0: jnp.ndarray   # [e] int32 canonical vertex id of v0 (first
+    i1: jnp.ndarray   # [e] int32    occurrence of the merged position)
 
     @staticmethod
     def build(positions, indices) -> "MeshEdges":
@@ -81,6 +91,7 @@ class MeshEdges(NamedTuple):
         fn /= np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-20)
 
         v0_list, v1_list, n0_list, n1_list = [], [], [], []
+        i0_list, i1_list = [], []
         order = np.lexsort((key[:, 1], key[:, 0]))
         sorted_key = key[order]
         sorted_face = face_of[order]
@@ -106,12 +117,16 @@ class MeshEdges(NamedTuple):
             v1_list.append(pos[b])
             n0_list.append(n0)
             n1_list.append(n1)
+            i0_list.append(a)
+            i1_list.append(b)
             i = j
         return MeshEdges(
             v0=jnp.asarray(np.asarray(v0_list), jnp.float32),
             v1=jnp.asarray(np.asarray(v1_list), jnp.float32),
             n0=jnp.asarray(np.asarray(n0_list), jnp.float32),
             n1=jnp.asarray(np.asarray(n1_list), jnp.float32),
+            i0=jnp.asarray(np.asarray(i0_list), jnp.int32),
+            i1=jnp.asarray(np.asarray(i1_list), jnp.int32),
         )
 
 
@@ -181,4 +196,155 @@ def edge_translation_gradient(camera: PinholeCamera, edges: MeshEdges,
                        l_minus - l_plus, 0.0)[:, None]
     contributions = weight * det                                 # [e·k, 3]
     # Σ_edges mean_s: each edge integrates ds over [0, 1].
+    return jnp.sum(contributions.reshape(e, k, 3), axis=(0, 1)) / k
+
+
+@partial(jax.jit, static_argnames=("radiance_fn", "n_vertices",
+                                   "samples_per_edge"))
+def edge_vertex_gradient(camera: PinholeCamera, edges: MeshEdges,
+                         translation, radiance_fn, n_vertices: int,
+                         samples_per_edge: int = 8,
+                         edge_eps: float = 1e-3):
+    """Boundary term of d(mean channel-mean image)/d(vertex positions)
+    → [n_vertices, 3] (second slice: per-vertex edge velocities).
+
+    The boundary integral is the same as :func:`edge_translation_gradient`
+    with velocity V = ∂q/∂v_j: an edge sample at parameter s moves with
+    (1−s)·∂q/∂x under its start vertex and s·∂q/∂x under its end vertex,
+    so each sample's det-weighted contribution scatter-adds to the edge's
+    two canonical vertices (duplicated mesh corners accumulate on the
+    first position-unique occurrence — MeshEdges.build's merge).
+    """
+    translation = jnp.asarray(translation, jnp.float32)
+    eye = camera.transform.translation
+    e = edges.v0.shape[0]
+    k = samples_per_edge
+    s = (jnp.arange(k, dtype=jnp.float32) + 0.5) / k
+    p0 = edges.v0 + translation
+    p1 = edges.v1 + translation
+    x = p0[:, None, :] + (p1 - p0)[:, None, :] * s[None, :, None]
+    flat_x = x.reshape(-1, 3)
+
+    view = x - eye
+    side0 = jnp.einsum("ekc,ec->ek", view, edges.n0)
+    side1 = jnp.einsum("ekc,ec->ek", view, edges.n1)
+    silhouette = (side0 * side1 <= 0.0).reshape(-1)
+
+    edge_dir = jnp.repeat(p1 - p0, k, axis=0)
+
+    def q_of(pt):
+        return project_to_screen(camera, pt)
+
+    def per_sample(pt, tangent):
+        (q, w), (dq_ds, _) = jax.jvp(q_of, (pt,), (tangent,))
+        dq_dx = jax.jacfwd(lambda d: q_of(pt + d)[0])(jnp.zeros(3))  # [2,3]
+        return q, w, dq_ds, dq_dx
+
+    q, w, dq_ds, dq_dx = jax.vmap(per_sample)(flat_x, edge_dir)
+    inside = (w > 0.0) & jnp.all((q >= 0.0) & (q <= 1.0), axis=-1)
+
+    t_len = jnp.sqrt(jnp.sum(dq_ds * dq_ds, axis=-1))
+    n_img = jnp.stack([-dq_ds[:, 1], dq_ds[:, 0]], axis=-1) \
+        / jnp.maximum(t_len, 1e-12)[:, None]
+    o_m, d_m = camera_ray_directions(camera,
+                                     jnp.clip(q - edge_eps * n_img, 0.0, 1.0))
+    o_p, d_p = camera_ray_directions(camera,
+                                     jnp.clip(q + edge_eps * n_img, 0.0, 1.0))
+    delta_l = jnp.where(silhouette & inside,
+                        radiance_fn(o_m, d_m) - radiance_fn(o_p, d_p), 0.0)
+
+    det = dq_ds[:, 0, None] * dq_dx[:, 1, :] \
+        - dq_ds[:, 1, None] * dq_dx[:, 0, :]                     # [e·k, 3]
+    contrib = delta_l[:, None] * det / k                         # [e·k, 3]
+    s_flat = jnp.tile(s, e)
+    g = jnp.zeros((n_vertices, 3), jnp.float32)
+    i0 = jnp.repeat(edges.i0, k)
+    i1 = jnp.repeat(edges.i1, k)
+    g = g.at[i0].add(contrib * (1.0 - s_flat)[:, None])
+    g = g.at[i1].add(contrib * s_flat[:, None])
+    return g
+
+
+@partial(jax.jit, static_argnames=("radiance_fn", "occluder_fn",
+                                   "samples_per_edge"))
+def shadow_edge_translation_gradient(camera: PinholeCamera,
+                                     edges: MeshEdges, translation,
+                                     light_position, radiance_fn,
+                                     occluder_fn,
+                                     samples_per_edge: int = 8,
+                                     edge_eps: float = 1e-3):
+    """SHADOW-silhouette boundary term of d(mean image)/d(translation)
+    → [3] (second slice: secondary discontinuities for a point-like light).
+
+    A blocker edge that is a silhouette as seen from ``light_position``
+    casts a shadow boundary onto the receiver behind it. The boundary
+    curve in the image is q(s) = project(y(s)) where y is the light-ray
+    through the edge point continued to the receiver; translating the
+    blocker moves y with the chain rule through the (detached) receiver
+    plane. ``occluder_fn(origin, direction) -> (t, plane_point [..,3],
+    plane_normal [..,3])`` returns the RECEIVER hit for a ray cast from
+    just past the edge point away from the light (its plane is treated as
+    static — receivers of interest don't move with the blocker).
+    ``radiance_fn`` probes camera rays as in the primary estimator.
+    """
+    translation = jnp.asarray(translation, jnp.float32)
+    light = jnp.asarray(light_position, jnp.float32)
+    e = edges.v0.shape[0]
+    k = samples_per_edge
+    s = (jnp.arange(k, dtype=jnp.float32) + 0.5) / k
+    p0 = edges.v0 + translation
+    p1 = edges.v1 + translation
+    x = (p0[:, None, :] + (p1 - p0)[:, None, :] * s[None, :, None]
+         ).reshape(-1, 3)
+
+    # Silhouette as seen from the LIGHT.
+    to_x = x.reshape(e, k, 3) - light
+    side0 = jnp.einsum("ekc,ec->ek", to_x, edges.n0)
+    side1 = jnp.einsum("ekc,ec->ek", to_x, edges.n1)
+    silhouette = (side0 * side1 <= 0.0).reshape(-1)
+
+    # Receiver plane behind the edge point (detached).
+    ldir = x - light
+    ldist = jnp.sqrt(jnp.sum(ldir * ldir, axis=-1, keepdims=True))
+    ldir = ldir / jnp.maximum(ldist, 1e-12)
+    probe_o = x + ldir * jnp.maximum(ldist, 1e-12) * 1e-3
+    r_t, r_point, r_normal = jax.tree.map(
+        jax.lax.stop_gradient, occluder_fn(probe_o, ldir))
+    has_receiver = jnp.isfinite(r_t)
+
+    edge_dir = jnp.repeat(p1 - p0, k, axis=0)
+
+    def shadow_point(pt, point, normal):
+        """Light-ray through pt intersected with the receiver plane."""
+        d = pt - light
+        denom = jnp.sum(d * normal)
+        tt = jnp.sum((point - light) * normal) / jnp.where(
+            jnp.abs(denom) > 1e-12, denom, 1e-12)
+        return light + d * tt
+
+    def per_sample(pt, tangent, point, normal):
+        def q_of(p):
+            return project_to_screen(camera, shadow_point(p, point, normal))
+
+        (q, w), (dq_ds, _) = jax.jvp(q_of, (pt,), (tangent,))
+        dq_dt = jax.jacfwd(lambda d: q_of(pt + d)[0])(jnp.zeros(3))
+        return q, w, dq_ds, dq_dt
+
+    q, w, dq_ds, dq_dt = jax.vmap(per_sample)(x, edge_dir, r_point, r_normal)
+    inside = (w > 0.0) & jnp.all((q >= 0.0) & (q <= 1.0), axis=-1)
+
+    t_len = jnp.sqrt(jnp.sum(dq_ds * dq_ds, axis=-1))
+    n_img = jnp.stack([-dq_ds[:, 1], dq_ds[:, 0]], axis=-1) \
+        / jnp.maximum(t_len, 1e-12)[:, None]
+    o_m, d_m = camera_ray_directions(camera,
+                                     jnp.clip(q - edge_eps * n_img, 0.0, 1.0))
+    o_p, d_p = camera_ray_directions(camera,
+                                     jnp.clip(q + edge_eps * n_img, 0.0, 1.0))
+    valid = silhouette & inside & has_receiver
+    delta_l = jnp.where(valid, radiance_fn(o_m, d_m) - radiance_fn(o_p, d_p),
+                        0.0)
+
+    det = dq_ds[:, 0, None] * dq_dt[:, 1, :] \
+        - dq_ds[:, 1, None] * dq_dt[:, 0, :]
+    contributions = delta_l[:, None] * det
     return jnp.sum(contributions.reshape(e, k, 3), axis=(0, 1)) / k

@@ -977,6 +977,36 @@ def render_sample(scene: RenderScene, camera: PinholeCamera,
         scene, camera, x, y, width, height, accumulation, settings)
 
 
+def render_rays(scene: RenderScene, origin, direction, pixel_hash,
+                accumulation, settings: RenderSettings = RenderSettings()):
+    """Trace explicit rays through the full estimator → radiance [r, 3].
+
+    The ray-level entry the edge-sampled geometry gradients probe with:
+    silhouette probes need EXACT sub-pixel viewport positions, which the
+    pixel-indexed entries quantize away. ``pixel_hash`` keys the Sobol
+    chains — probe pairs pass the SAME hash so the stochastic noise is
+    common-mode and cancels in their radiance difference.
+    """
+    accumulation = jnp.asarray(accumulation, jnp.uint32)
+    r = origin.shape[0]
+    state = _PathState(
+        origin=origin,
+        direction=direction,
+        throughput=jnp.ones((r, 3), jnp.float32),
+        radiance=jnp.zeros((r, 3), jnp.float32),
+        bsdf_pdf=jnp.zeros(r, jnp.float32),
+        bsdf_was_delta=jnp.ones(r, bool),
+        pixel_hash=jnp.broadcast_to(jnp.asarray(pixel_hash, jnp.uint32),
+                                    (r,)),
+        bounce=jnp.zeros(r, jnp.uint32),
+        active=jnp.isfinite(origin[..., 0]),
+    )
+    n_iters = settings.max_bounce_count + 1 + settings.passthrough_slack
+    step = partial(_wavefront_step, scene, settings, accumulation)
+    state = jax.lax.fori_loop(0, n_iters, lambda i, s: step(s), state)
+    return state.radiance
+
+
 def render_sample_fast(scene: RenderScene, camera: PinholeCamera,
                        width: int, height: int, accumulation,
                        settings: RenderSettings = RenderSettings(),

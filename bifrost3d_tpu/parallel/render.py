@@ -182,3 +182,157 @@ def make_sharded_train_step(mesh, width: int, height: int,
         return params, opt_state, loss
 
     return init_fn, step_fn
+
+
+def make_sharded_geometry_train_step(mesh, width: int, height: int,
+                                     tri_range, object_edges,
+                                     settings=None,
+                                     learning_rate: float = 2e-2,
+                                     samples_per_edge: int = 16):
+    """Sharded inverse-rendering step over a GEOMETRY parameter — the
+    north-star "material/geometry/light" axis (VERDICT r3 #4): optimize an
+    object's TRANSLATION against a target image.
+
+    The translation gradient combines:
+    - the INTERIOR (pathwise) term — autodiff through the shifted triangle
+      attributes (the hit query stays detached; positions/normals fetched
+      from the shifted soup carry the dependence), sharded over pixel rows
+      with a psum all-reduce like the material step;
+    - the BOUNDARY term — the silhouette-edge-sampled estimator
+      (diff/mesh_edge_grad.py) weighted by the loss adjoint: for
+      loss = mean((I−T)²), the boundary integrand is
+      (L₋−T(q))² − (L₊−T(q))² per channel, with T bilinearly sampled at
+      the edge's image position. Computed replicated (a few hundred
+      probes) and added to the reduced interior gradient.
+
+    ``tri_range = (start, end)``: the object's contiguous triangle range in
+    the scene soup. Scope: scenes whose intersection runs off
+    ``tri_verts`` directly (brute/XLA paths — small scenes; the Pallas
+    packings are bypassed by clearing them in the shifted scene).
+    """
+    import optax
+    from bifrost3d_tpu.diff.mesh_edge_grad import MeshEdges  # noqa: F401
+    from bifrost3d_tpu.integrator.path_tracer import (
+        RenderSettings, render_sample_pixels)
+    from bifrost3d_tpu.scene.camera import camera_ray_directions
+
+    settings = settings or RenderSettings()
+    n_dev = mesh.devices.size
+    padded_h = pad_to_multiple(height, n_dev)
+    y_all = jnp.broadcast_to(
+        jnp.arange(padded_h, dtype=jnp.uint32)[:, None], (padded_h, width))
+    x_all = jnp.broadcast_to(
+        jnp.arange(width, dtype=jnp.uint32)[None, :], (padded_h, width))
+    opt = optax.adam(learning_rate)
+    denom = float(width * height * 3)
+    t0, t1 = tri_range
+
+    def _shifted(scene, translation):
+        shifted = scene.tri_verts.at[t0:t1].add(translation[None, None, :])
+        return scene._replace(tri_verts=shifted, tri_components=None,
+                              tri_clustered=None)
+
+    def init_fn():
+        return jnp.zeros(3, jnp.float32), opt.init(jnp.zeros(3, jnp.float32))
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(), P(TILE_AXIS), P(TILE_AXIS),
+                       P(TILE_AXIS), P()),
+             out_specs=(P(), P()), check_vma=False)
+    def _interior_shard(translation, scene, camera, x, y, target_rows,
+                        accumulation):
+        def local_loss(t):
+            img = render_sample_pixels(
+                _shifted(scene, t), camera, x, y, width, height,
+                accumulation, settings)
+            in_image = (y < height)[..., None]
+            return jnp.sum(jnp.where(in_image,
+                                     jnp.square(img - target_rows), 0.0))
+
+        loss, grad = jax.value_and_grad(local_loss)(translation)
+        loss = jax.lax.psum(loss, TILE_AXIS) / denom
+        grad = jax.lax.psum(grad, TILE_AXIS) / denom
+        return loss, grad
+
+    def _boundary_grad(translation, scene, camera, target, accumulation):
+        """Loss-adjoint-weighted silhouette boundary term → [3]."""
+        edges = object_edges
+        eye = camera.transform.translation
+        e = edges.v0.shape[0]
+        k = samples_per_edge
+        s = (jnp.arange(k, dtype=jnp.float32) + 0.5) / k
+        p0 = edges.v0 + translation
+        p1 = edges.v1 + translation
+        x = (p0[:, None, :] + (p1 - p0)[:, None, :] * s[None, :, None]
+             ).reshape(-1, 3)
+        view = x.reshape(e, k, 3) - eye
+        side0 = jnp.einsum("ekc,ec->ek", view, edges.n0)
+        side1 = jnp.einsum("ekc,ec->ek", view, edges.n1)
+        silhouette = (side0 * side1 <= 0.0).reshape(-1)
+
+        from bifrost3d_tpu.scene.camera import project_to_screen
+        edge_dir = jnp.repeat(p1 - p0, k, axis=0)
+
+        def per_sample(pt, tangent):
+            def q_of(p):
+                return project_to_screen(camera, p)
+            (q, w), (dq_ds, _) = jax.jvp(q_of, (pt,), (tangent,))
+            dq_dt = jax.jacfwd(lambda d: q_of(pt + d)[0])(jnp.zeros(3))
+            return q, w, dq_ds, dq_dt
+
+        q, w, dq_ds, dq_dt = jax.vmap(per_sample)(x, edge_dir)
+        inside = (w > 0.0) & jnp.all((q >= 0.0) & (q <= 1.0), axis=-1)
+        t_len = jnp.sqrt(jnp.sum(dq_ds * dq_ds, axis=-1))
+        n_img = jnp.stack([-dq_ds[:, 1], dq_ds[:, 0]], axis=-1) \
+            / jnp.maximum(t_len, 1e-12)[:, None]
+        eps = 1.5e-3
+        shifted = _shifted(scene, translation)
+
+        from bifrost3d_tpu.integrator.path_tracer import render_rays
+        from bifrost3d_tpu.sampling.hashes import pcg2d
+
+        # Same hash for both probes of a pair: the stochastic estimator
+        # noise is common-mode and cancels in ΔL.
+        xi = jnp.clip(q[:, 0] * width, 0, width - 1).astype(jnp.uint32)
+        yi = jnp.clip((1.0 - q[:, 1]) * height, 0, height - 1
+                      ).astype(jnp.uint32)
+        probe_hash, _ = pcg2d(xi, yi)
+
+        def probe(uv):
+            o, d = camera_ray_directions(camera, uv)
+            return render_rays(shifted, o, d, probe_hash, accumulation,
+                               settings)
+
+        l_minus = probe(jnp.clip(q - eps * n_img, 0.0, 1.0))
+        l_plus = probe(jnp.clip(q + eps * n_img, 0.0, 1.0))
+
+        # Target bilinearly sampled at q (image row 0 = viewport v = 1).
+        from jax.scipy.ndimage import map_coordinates
+        ty = (1.0 - q[:, 1]) * height - 0.5
+        tx = q[:, 0] * width - 0.5
+        t_at_q = jnp.stack([
+            map_coordinates(target[..., c], [ty, tx], order=1,
+                            mode="nearest") for c in range(3)], axis=-1)
+        # loss = ∫ Σ_c (I−T)² du / 3 in continuous image space, so the
+        # boundary integrand carries the same 1/3 channel normalization.
+        delta_f = jnp.sum(jnp.square(l_minus - t_at_q)
+                          - jnp.square(l_plus - t_at_q), axis=-1) / 3.0
+        det = dq_ds[:, 0, None] * dq_dt[:, 1, :] \
+            - dq_ds[:, 1, None] * dq_dt[:, 0, :]
+        contrib = jnp.where(silhouette & inside, delta_f, 0.0)[:, None] * det
+        return jnp.sum(contrib.reshape(e, k, 3), axis=(0, 1)) / k
+
+    @jax.jit
+    def step_fn(translation, opt_state, scene, camera, target, accumulation):
+        accumulation = jnp.asarray(accumulation, jnp.uint32)
+        target_pad = jnp.zeros((padded_h, width, 3), target.dtype
+                               ).at[:height].set(target)
+        loss, grad = _interior_shard(translation, scene, camera, x_all,
+                                     y_all, target_pad, accumulation)
+        grad = grad + _boundary_grad(translation, scene, camera, target,
+                                     accumulation)
+        updates, opt_state = opt.update(grad, opt_state)
+        translation = optax.apply_updates(translation, updates)
+        return translation, opt_state, loss
+
+    return init_fn, step_fn

@@ -443,35 +443,66 @@ class SceneSync:
         self.accumulations = 0
 
     def handle_updates(self) -> RenderScene:
-        if self._render_scene is None or self.data.scene_changes:
+        d = self.data
+        if self._render_scene is None:
             self._render_scene = self._build()
-            # Any visible change restarts progressive accumulation
-            # (Renderer.cpp:1202-1204). Camera-only changes are handled by
-            # the Compositor (per-camera backend reset), not a rebuild.
             self.accumulations = 0
+            return self._render_scene
+        if not d.scene_changes:
+            return self._render_scene
+
+        # Incremental sync (VERDICT r3 #7): use the per-manager ChangeSet
+        # bits the datamodel already records to skip rebuild stages — a
+        # tint edit must not pay the BVH/cluster/texture rebuild
+        # (Renderer.cpp:753-850 syncs materials alone the same way).
+        # Any visible change still restarts progressive accumulation
+        # (Renderer.cpp:1202-1204); camera-only changes are handled by the
+        # Compositor (per-camera backend reset), not here.
+        managers = dict(nodes=d.nodes, roots=d.roots, meshes=d.meshes,
+                        images=d.images, textures=d.textures,
+                        materials=d.materials, models=d.models,
+                        lights=d.lights)
+        changed = {k for k, m in managers.items() if m.changes.any_changes}
+
+        def updates_only(manager):
+            from bifrost3d_tpu.core.changeset import ChangeSet
+            return all(
+                manager.changes.get_changes(uid) == ChangeSet.UPDATED
+                for uid in manager.changes.get_changed_resources())
+
+        scene = self._render_scene
+        if changed == {"materials"} and updates_only(d.materials):
+            # Param-only material edit: geometry, textures, lights and
+            # environment buffers are REUSED by object identity.
+            scene = scene._replace(materials=self._build_materials())
+        elif changed == {"lights"} and updates_only(d.lights):
+            scene = scene._replace(lights=self._build_lights())
+        elif changed == {"roots"}:
+            env_map, env_tint = self._root_environment()
+            env = None
+            if env_map is not None:
+                from bifrost3d_tpu.lights.environment import (
+                    build_environment_light)
+                env = build_environment_light(env_map, tint=(1.0, 1.0, 1.0))
+            import jax.numpy as jnp
+            scene = scene._replace(
+                environment=env,
+                environment_tint=jnp.asarray(env_tint, jnp.float32),
+                environment_presampled=None)
+        else:
+            scene = self._build()
+        self._render_scene = scene
+        self.accumulations = 0
         return self._render_scene
 
-    def _build(self) -> RenderScene:
+    def _tex_index(self):
+        return {int(uid): i for i, uid in enumerate(self.data.textures)}
+
+    def _build_materials(self) -> MaterialArray:
         d = self.data
-        material_ids = list(d.materials)
-        mat_index = {int(uid): i for i, uid in enumerate(material_ids)}
-
-        # Textures: linearize every referenced sampler into a TextureBank
-        # and remap material texture-UID params to bank indices
-        # (Renderer.cpp:650-751 image/texture sync, collapsed).
-        texture_ids = list(d.textures)
-        tex_index = {int(uid): i for i, uid in enumerate(texture_ids)}
-        bank_entries = []
-        for tex_uid in texture_ids:
-            s = d.textures.get_sampler(tex_uid)
-            img = d.images.get_image(s["image"])
-            bank_entries.append(dict(
-                image=img.to_float()[0], filter=s["filter"],
-                wrap_u=s["wrap_u"], wrap_v=s["wrap_v"]))
-        bank = TextureBank.build(bank_entries)
-
+        tex_index = self._tex_index()
         material_params = []
-        for uid in material_ids:
+        for uid in d.materials:
             p = d.materials.get_params(uid)
             for key in ("tint_roughness_texture", "metallic_texture",
                         "coverage_texture"):
@@ -480,17 +511,11 @@ class SceneSync:
                 else:
                     p[key] = -1
             material_params.append(p)
-        mats = MaterialArray.build(material_params) \
-            if material_ids else MaterialArray.build([dict()])
+        return MaterialArray.build(material_params) \
+            if material_params else MaterialArray.build([dict()])
 
-        instances = []
-        for model_id in d.models:
-            node, mesh_id, mat_id = d.models.get_binding(model_id)
-            mesh = d.meshes.get_mesh(mesh_id)
-            world = d.nodes.get_global_transform(node)
-            instances.append((mesh, mat_index.get(int(mat_id), 0),
-                              _transform_to_matrix(world)))
-
+    def _build_lights(self) -> "LightArray":
+        d = self.data
         light_dicts = []
         for light_id in d.lights:
             li = d.lights.get_light(light_id)
@@ -503,13 +528,47 @@ class SceneSync:
                 li["direction"] = tuple(np.asarray(
                     quat_rotate(t.rotation, jnp.asarray([0.0, 0.0, 1.0]))))
             light_dicts.append(li)
-        lights = LightArray.build(light_dicts)
+        return LightArray.build(light_dicts)
 
+    def _root_environment(self):
+        d = self.data
         env_map, env_tint = None, (0.0, 0.0, 0.0)
         for root_id in d.roots:
             env_map = d.roots.get_environment_map(root_id)
             env_tint = d.roots.get_environment_tint(root_id)
             break
+        return env_map, env_tint
+
+    def _build(self) -> RenderScene:
+        d = self.data
+        material_ids = list(d.materials)
+        mat_index = {int(uid): i for i, uid in enumerate(material_ids)}
+
+        # Textures: linearize every referenced sampler into a TextureBank
+        # and remap material texture-UID params to bank indices
+        # (Renderer.cpp:650-751 image/texture sync, collapsed).
+        texture_ids = list(d.textures)
+        bank_entries = []
+        for tex_uid in texture_ids:
+            s = d.textures.get_sampler(tex_uid)
+            img = d.images.get_image(s["image"])
+            bank_entries.append(dict(
+                image=img.to_float()[0], filter=s["filter"],
+                wrap_u=s["wrap_u"], wrap_v=s["wrap_v"]))
+        bank = TextureBank.build(bank_entries)
+
+        mats = self._build_materials()
+
+        instances = []
+        for model_id in d.models:
+            node, mesh_id, mat_id = d.models.get_binding(model_id)
+            mesh = d.meshes.get_mesh(mesh_id)
+            world = d.nodes.get_global_transform(node)
+            instances.append((mesh, mat_index.get(int(mat_id), 0),
+                              _transform_to_matrix(world)))
+
+        lights = self._build_lights()
+        env_map, env_tint = self._root_environment()
 
         return build_render_scene(instances, mats, lights,
                                   environment_map=env_map,

@@ -190,3 +190,84 @@ class TestSceneSync:
         d.meshes.destroy(m)
         scene = sync.handle_updates()  # rebuild (changes happened)…
         assert not d.meshes.has(m)     # …but the mesh is gone
+
+
+class TestIncrementalSceneSync:
+    """VERDICT r3 #7: ChangeSet bits skip rebuild stages — a material edit
+    reuses the geometry/texture buffers by OBJECT IDENTITY; a light edit
+    reuses geometry + materials; structural changes still rebuild fully."""
+
+    def _populated(self):
+        d = SceneData()
+        root = d.nodes.create("root")
+        d.roots.create("scene", root, environment_tint=(0.2, 0.2, 0.2))
+        mesh = d.meshes.create("sphere", make_sphere(radius=0.5))
+        mat = d.materials.create("grey", tint=(0.5, 0.5, 0.5), roughness=0.6)
+        node = d.nodes.create("obj")
+        d.nodes.set_parent(node, root)
+        d.models.create(node, mesh, mat)
+        light_node = d.nodes.create("light", transform_identity()._replace(
+            translation=jnp.asarray([0.0, 3.0, 0.0])))
+        light = d.lights.create_sphere_light(light_node, (50, 50, 50), 0.3)
+        return d, mat, light
+
+    def test_material_edit_reuses_geometry(self):
+        d, mat, _ = self._populated()
+        sync = SceneSync(d)
+        scene = sync.handle_updates()
+        d.reset_change_notifications()
+
+        d.materials.set_tint(mat, (0.9, 0.1, 0.1))
+        scene2 = sync.handle_updates()
+        assert sync.accumulations == 0
+        np.testing.assert_allclose(
+            np.asarray(scene2.materials.tint[0]), [0.9, 0.1, 0.1])
+        # Geometry / accel / texture / light buffers reused by identity.
+        assert scene2.tri_verts is scene.tri_verts
+        assert scene2.bvh is scene.bvh
+        assert scene2.tri_components is scene.tri_components
+        assert scene2.textures is scene.textures
+        assert scene2.lights is scene.lights
+
+    def test_light_edit_reuses_geometry_and_materials(self):
+        d, _, light = self._populated()
+        sync = SceneSync(d)
+        scene = sync.handle_updates()
+        d.reset_change_notifications()
+
+        d.lights.set_power(light, (10, 10, 10))
+        scene2 = sync.handle_updates()
+        np.testing.assert_allclose(np.asarray(scene2.lights.power[0]),
+                                   [10, 10, 10])
+        assert scene2.tri_verts is scene.tri_verts
+        assert scene2.materials is scene.materials
+
+    def test_structural_change_rebuilds(self):
+        d, mat, _ = self._populated()
+        sync = SceneSync(d)
+        scene = sync.handle_updates()
+        d.reset_change_notifications()
+
+        # Creating a material shifts indices → full rebuild.
+        d.materials.create("new", tint=(0.1, 0.9, 0.1))
+        scene2 = sync.handle_updates()
+        assert scene2.materials.count == 2
+        # Mesh edit → full rebuild (tri_verts replaced).
+        d.reset_change_notifications()
+        d.meshes.set_mesh(list(d.meshes)[0], make_sphere(radius=0.7))
+        scene3 = sync.handle_updates()
+        assert scene3.tri_verts is not scene2.tri_verts
+
+    def test_environment_tint_edit_reuses_geometry(self):
+        d, _, _ = self._populated()
+        sync = SceneSync(d)
+        scene = sync.handle_updates()
+        d.reset_change_notifications()
+
+        root_id = list(d.roots)[0]
+        d.roots.set_environment_tint(root_id, (1.0, 0.5, 0.25))
+        scene2 = sync.handle_updates()
+        np.testing.assert_allclose(np.asarray(scene2.environment_tint),
+                                   [1.0, 0.5, 0.25])
+        assert scene2.tri_verts is scene.tri_verts
+        assert scene2.materials is scene.materials

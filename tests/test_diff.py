@@ -244,3 +244,147 @@ class TestInverseRendering:
         assert result.losses[-1] < 0.25 * result.losses[0], result.losses
         recovered = np.asarray(result.scene.materials.tint[0])
         np.testing.assert_allclose(recovered, [0.8, 0.2, 0.5], atol=0.15)
+
+
+class TestGeometryGradientsSecondSlice:
+    """VERDICT r3 #4: shadow-silhouette boundary terms and per-vertex edge
+    velocities, FD-checked on deterministic first-hit forwards."""
+
+    def _shadow_scene(self):
+        from bifrost3d_tpu.geometry import make_box, make_plane
+        from bifrost3d_tpu.geometry.traverse import intersect_triangles_brute
+
+        box = make_box(size=0.6)
+        floor = make_plane(size=8.0)
+        floor_y = 0.0
+        # Light z offset from the box faces (z = t_z ± 0.3): a light
+        # exactly in a face plane makes that face edge-on — a
+        # non-differentiable silhouette-topology kink FD would straddle.
+        light = jnp.asarray([0.6, 2.5, 0.45], jnp.float32)
+        intensity = 2.0
+        box_tint = 0.55
+        floor_tint = 0.2
+
+        floor_tris = jnp.asarray(
+            np.asarray(floor.positions)[np.asarray(floor.indices)],
+            jnp.float32)
+        box_tris_obj = jnp.asarray(
+            np.asarray(box.positions)[np.asarray(box.indices)], jnp.float32)
+        n_floor = floor_tris.shape[0]
+
+        def radiance(t):
+            """Deterministic direct-light forward: box pixels flat, floor
+            pixels shaded with a binary shadow test against the box."""
+            def fn(origin, direction):
+                tris = jnp.concatenate([floor_tris, box_tris_obj + t], 0)
+                hit = intersect_triangles_brute(tris, origin, direction,
+                                                1e-4, jnp.inf)
+                p = origin + direction * hit.t[..., None]
+                to_l = light - p
+                d2 = jnp.sum(to_l * to_l, axis=-1)
+                ldir = to_l / jnp.sqrt(jnp.maximum(d2, 1e-12))[..., None]
+                sh = intersect_triangles_brute(
+                    box_tris_obj + t, p + ldir * 1e-3, ldir, 1e-4,
+                    jnp.sqrt(jnp.maximum(d2, 1e-12)) - 2e-3)
+                vis = jnp.where(sh.prim >= 0, 0.0, 1.0)
+                cos_f = jnp.maximum(ldir[..., 1], 0.0)
+                floor_l = floor_tint * intensity * cos_f * vis / jnp.maximum(
+                    d2, 1e-6)
+                val = jnp.where(hit.prim >= n_floor, box_tint, floor_l)
+                return jnp.where(hit.prim >= 0, val, 0.0)
+            return fn
+
+        def occluder_fn(origin, direction):
+            # The receiver is the floor plane y = floor_y (static).
+            t = (floor_y - origin[:, 1]) / jnp.where(
+                jnp.abs(direction[:, 1]) > 1e-9, direction[:, 1], 1e-9)
+            t = jnp.where((direction[:, 1] < 0.0) & (t > 0.0), t, jnp.inf)
+            point = jnp.broadcast_to(
+                jnp.asarray([0.0, floor_y, 0.0]), origin.shape)
+            normal = jnp.broadcast_to(
+                jnp.asarray([0.0, 1.0, 0.0]), origin.shape)
+            return t, point, normal
+
+        return box, radiance, occluder_fn, light
+
+    def test_shadow_edge_gradient_matches_fd(self):
+        from bifrost3d_tpu.diff.mesh_edge_grad import (
+            MeshEdges, edge_translation_gradient,
+            shadow_edge_translation_gradient)
+        from bifrost3d_tpu.scene.camera import (
+            camera_ray_directions, perspective_camera)
+
+        box, radiance, occluder_fn, light = self._shadow_scene()
+        base = jnp.asarray([0.0, 0.9, 0.0], jnp.float32)
+        cam = perspective_camera(eye=(0.4, 2.6, -3.2), target=(0, 0.4, 0))
+
+        m = 384
+        u = (jnp.arange(m, dtype=jnp.float32) + 0.5) / m
+        uu, vv = jnp.meshgrid(u, u)
+        grid = jnp.stack([uu.reshape(-1), vv.reshape(-1)], axis=-1)
+        o_grid, d_grid = camera_ray_directions(cam, grid)
+
+        @jax.jit
+        def forward(t):
+            return jnp.mean(radiance(t)(o_grid, d_grid))
+
+        edges = MeshEdges.build(box.positions, box.indices)
+        g_primary = np.asarray(edge_translation_gradient(
+            cam, edges, base, radiance(base), samples_per_edge=64,
+            edge_eps=1.5e-3))
+        g_shadow = np.asarray(shadow_edge_translation_gradient(
+            cam, edges, base, light, radiance(base), occluder_fn,
+            samples_per_edge=64, edge_eps=1.5e-3))
+        g = g_primary + g_shadow
+        assert np.all(np.isfinite(g))
+        # The shadow term is a real contribution, not noise.
+        assert np.max(np.abs(g_shadow)) > 1e-4, g_shadow
+
+        h = 0.05
+        for axis in (0, 2):
+            e = jnp.zeros(3).at[axis].set(h)
+            fd = float((forward(base + e) - forward(base - e)) / (2 * h))
+            np.testing.assert_allclose(g[axis], fd, rtol=0.2, atol=3e-4)
+
+    def test_vertex_gradient_matches_translation_sum(self):
+        """Moving ALL canonical vertices together IS a translation: the
+        per-vertex boundary gradients must sum to the translation
+        gradient (a strong consistency check of the scatter weights)."""
+        from bifrost3d_tpu.diff.mesh_edge_grad import (
+            MeshEdges, edge_translation_gradient, edge_vertex_gradient)
+        from bifrost3d_tpu.geometry import make_box, make_plane
+        from bifrost3d_tpu.geometry.traverse import intersect_triangles_brute
+        from bifrost3d_tpu.scene.camera import perspective_camera
+
+        box = make_box(size=0.8)
+        floor = make_plane(size=6.0)
+        base = jnp.asarray([0.05, 0.62, 0.0], jnp.float32)
+        tints = jnp.asarray([0.2, 0.55], jnp.float32)
+        floor_tris = jnp.asarray(
+            np.asarray(floor.positions)[np.asarray(floor.indices)],
+            jnp.float32)
+        box_tris_obj = jnp.asarray(
+            np.asarray(box.positions)[np.asarray(box.indices)], jnp.float32)
+        n_floor = floor_tris.shape[0]
+
+        def first_hit_tint(origin, direction):
+            tris = jnp.concatenate([floor_tris, box_tris_obj + base], 0)
+            hit = intersect_triangles_brute(tris, origin, direction,
+                                            1e-4, jnp.inf)
+            tint = tints[(hit.prim >= n_floor).astype(jnp.int32)]
+            return jnp.where(hit.prim >= 0, tint, 0.0)
+
+        cam = perspective_camera(eye=(1.3, 1.5, 2.4), target=(0, 0.3, 0))
+        edges = MeshEdges.build(box.positions, box.indices)
+        n_verts = np.asarray(box.positions).shape[0]
+        g_t = np.asarray(edge_translation_gradient(
+            cam, edges, base, first_hit_tint, samples_per_edge=32))
+        g_v = np.asarray(edge_vertex_gradient(
+            cam, edges, base, first_hit_tint, n_verts,
+            samples_per_edge=32))
+        assert np.all(np.isfinite(g_v))
+        # Only canonical (first-occurrence) vertices accumulate.
+        # A box silhouette from one viewpoint touches ~6 corners.
+        assert (np.abs(g_v).sum(axis=1) > 0).sum() >= 4
+        np.testing.assert_allclose(g_v.sum(axis=0), g_t, rtol=1e-4,
+                                   atol=1e-7)

@@ -28,19 +28,23 @@ GOLDEN_DIR = "/root/reference/apps/SimpleViewer/ReferenceImages"
 SKY_TINT = (0.68, 0.92, 1.0)  # SimpleViewer main.cpp:58 default env tint
 
 
+GOLDEN_ASPECT = 640.0 / 480.0  # the reference goldens' window aspect
+# (SimpleViewer main.cpp:350 feeds the window aspect to the camera).
+
+
 def _scene(name):
     import jax.numpy as jnp
     from bifrost3d_tpu.apps import scenes as S
     if name == "CornellBox":
-        scene, cam = S.create_cornell_box()
+        scene, cam = S.create_cornell_box(aspect=GOLDEN_ASPECT)
         scene = scene._replace(
             environment_tint=jnp.asarray(SKY_TINT, jnp.float32))
     elif name == "MaterialScene":
-        scene, cam = S.create_material_scene()
+        scene, cam = S.create_material_scene(aspect=GOLDEN_ASPECT)
         scene = scene._replace(
             environment_tint=jnp.asarray(SKY_TINT, jnp.float32))
     elif name == "OpacityScene":
-        scene, cam = S.create_opacity_scene()
+        scene, cam = S.create_opacity_scene(aspect=GOLDEN_ASPECT)
         scene = scene._replace(
             environment_tint=jnp.asarray(SKY_TINT, jnp.float32))
     else:
@@ -52,7 +56,7 @@ def _render(name, width, height, accumulations, max_bounce=4):
     import jax
     import jax.numpy as jnp
     from bifrost3d_tpu.integrator.path_tracer import (
-        render_sample_pooled, settings_for_scene)
+        render_sample_fast, settings_for_scene)
     from bifrost3d_tpu.post.pipeline import process
     from bifrost3d_tpu.post.tonemap import CameraEffectsSettings
 
@@ -61,8 +65,8 @@ def _render(name, width, height, accumulations, max_bounce=4):
     # The pooled wavefront is the product path (SimpleBackend et al.);
     # parity with the dense integrator is separately gated by
     # test_path_tracer.TestPooledWavefront.
-    f = jax.jit(lambda n: render_sample_pooled(scene, cam, width, height, n,
-                                               settings))
+    f = jax.jit(lambda n: render_sample_fast(scene, cam, width, height, n,
+                                             settings))
     buf = f(jnp.uint32(0))
     for n in range(1, accumulations):
         buf = buf + (f(jnp.uint32(n)) - buf) / (n + 1.0)

@@ -206,3 +206,67 @@ class TestShardedMeshRender:
             losses.append(float(loss))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0], losses
+
+
+class TestShardedGeometryTrainStep:
+    def test_recovers_box_translation(self, mesh8):
+        """The sharded geometry step (interior autodiff + loss-adjoint
+        silhouette boundary term, psum over the tiles axis) moves a box's
+        translation toward the target pose (VERDICT r3 #4)."""
+        from bifrost3d_tpu.diff.mesh_edge_grad import MeshEdges
+        from bifrost3d_tpu.geometry import make_box, make_plane
+        from bifrost3d_tpu.integrator.path_tracer import settings_for_scene
+        from bifrost3d_tpu.lights.types import LIGHT_SPHERE, LightArray
+        from bifrost3d_tpu.parallel.render import (
+            make_sharded_geometry_train_step)
+        from bifrost3d_tpu.scene.camera import perspective_camera
+        from bifrost3d_tpu.scene.materials import MaterialArray, dielectric
+        from bifrost3d_tpu.scene.render_scene import build_render_scene
+
+        mats = MaterialArray.build([
+            dielectric((0.8, 0.8, 0.8), 0.9),
+            dielectric((0.9, 0.2, 0.2), 0.9),
+        ])
+        floor = make_plane(size=6.0)
+        box = make_box(size=0.8)
+        instances = [(floor, 0, None), (box, 1, None)]
+        lights = LightArray.build([
+            {"kind": LIGHT_SPHERE, "position": (0.5, 2.5, -0.5),
+             "radius": 0.2, "power": (40.0, 40.0, 40.0)}])
+        scene = build_render_scene(instances, mats, lights)
+        n_floor = np.asarray(floor.indices).reshape(-1, 3).shape[0]
+        n_box = np.asarray(box.indices).reshape(-1, 3).shape[0]
+        # Lift the box off the floor so silhouettes are clean.
+        scene = scene._replace(tri_verts=scene.tri_verts.at[
+            n_floor:n_floor + n_box].add(jnp.asarray([0.0, 0.9, 0.0])))
+        cam = perspective_camera(eye=(0.0, 2.2, -3.0), target=(0, 0.6, 0))
+        settings = settings_for_scene(scene, max_bounce_count=1,
+                                      next_event_sample_count=1)
+        W = H = 48
+
+        edges = MeshEdges.build(
+            np.asarray(box.positions) + np.asarray([0.0, 0.9, 0.0]),
+            box.indices)
+        init_fn, step_fn = make_sharded_geometry_train_step(
+            mesh8, W, H, (n_floor, n_floor + n_box), edges,
+            settings=settings, learning_rate=4e-2, samples_per_edge=8)
+
+        from bifrost3d_tpu.integrator.path_tracer import render_sample
+        target_t = jnp.asarray([0.35, 0.0, 0.0], jnp.float32)
+        target_scene = scene._replace(tri_verts=scene.tri_verts.at[
+            n_floor:n_floor + n_box].add(target_t))
+        target = render_sample(target_scene, cam, W, H, jnp.uint32(0),
+                               settings)
+
+        translation, opt_state = init_fn()
+        first_err = float(jnp.linalg.norm(translation - target_t))
+        losses = []
+        for n in range(12):
+            translation, opt_state, loss = step_fn(
+                translation, opt_state, scene, cam, target, jnp.uint32(0))
+            losses.append(float(loss))
+        err = float(jnp.linalg.norm(translation - target_t))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0] * 0.9, losses
+        assert err < first_err * 0.7, (err, first_err,
+                                       np.asarray(translation))
