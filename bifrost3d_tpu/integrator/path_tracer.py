@@ -92,6 +92,19 @@ class RenderSettings(NamedTuple):
     # large scenes (cull-based kernels); settings_for_scene enables it when
     # the scene carries a cluster packing.
     sort_rays_every: int = 0
+    # Static scene hint: the texture bank carries a Trilinear-minification
+    # sampler (Texture.h:26-60). When set, the shade stage derives a ray
+    # footprint (hit distance × pixel solid angle × per-triangle texel
+    # density) and sample_texture blends the two surrounding mip levels;
+    # when clear the mip machinery compiles away. settings_for_scene fills
+    # it from TextureBank.has_trilinear().
+    trilinear_textures: bool = False
+    # Rematerialize each wavefront iteration in the backward pass
+    # (jax.checkpoint around the bounce step): reverse-mode otherwise
+    # saves every iteration's intermediates (shading lobes, RIS
+    # candidates), trading HBM for FLOPs. SURVEY §7.3 #7; measured on the
+    # CornellBox train step in BASELINE.md (r4 backward roofline).
+    remat_bounces: bool = False
 
 
 def settings_for_scene(scene: RenderScene, **overrides) -> RenderSettings:
@@ -113,6 +126,10 @@ def settings_for_scene(scene: RenderScene, **overrides) -> RenderSettings:
     # pure overhead there.
     overrides.setdefault("sort_rays_every",
                          1 if scene.tri_clustered is not None else 0)
+    overrides.setdefault("trilinear_textures",
+                         scene.textures.has_trilinear()
+                         if hasattr(scene.textures, "has_trilinear")
+                         else False)
     return RenderSettings(shading_models_present=present, **overrides)
 
 
@@ -175,7 +192,8 @@ class _ShadingBundle(NamedTuple):
 
 
 def _surface_material_params(scene: RenderScene, mats, texcoord,
-                             tint_roughness_scale=None):
+                             tint_roughness_scale=None, footprint_uv=None,
+                             trilinear: bool = False):
     """Resolve per-hit material params: constants × texture fetches ×
     per-vertex tint-roughness scale (the reference's get_tint_roughness /
     get_metallic / get_coverage texture helpers, Types.h:353-416).
@@ -191,13 +209,16 @@ def _surface_material_params(scene: RenderScene, mats, texcoord,
     coverage_tex = None
     if texcoord is not None:
         tr = sample_texture(scene.textures,
-                            mats.tint_roughness_texture, texcoord)
+                            mats.tint_roughness_texture, texcoord,
+                            footprint_uv=footprint_uv, trilinear=trilinear)
         tint = tint * tr[..., :3]
         roughness = roughness * tr[..., 3]
         metallic = metallic * sample_texture(
-            scene.textures, mats.metallic_texture, texcoord)[..., 0]
+            scene.textures, mats.metallic_texture, texcoord,
+            footprint_uv=footprint_uv, trilinear=trilinear)[..., 0]
         coverage_tex = sample_texture(
-            scene.textures, mats.coverage_texture, texcoord)[..., 0]
+            scene.textures, mats.coverage_texture, texcoord,
+            footprint_uv=footprint_uv, trilinear=trilinear)[..., 0]
     if coverage_tex is None:
         coverage_tex = jnp.ones_like(coverage_or_threshold)
     # Cutout materials binarize the texture sample against the stored value,
@@ -553,7 +574,8 @@ class _PathState(NamedTuple):
 
 
 def _wavefront_step(scene: RenderScene, settings: RenderSettings,
-                    accumulation, state: _PathState) -> _PathState:
+                    accumulation, state: _PathState,
+                    pixel_angle=None) -> _PathState:
     (origin, direction, throughput, radiance, bsdf_pdf, bsdf_was_delta,
      pixel_hash, bounce, active) = state
     eps = scene.scene_epsilon
@@ -614,9 +636,31 @@ def _wavefront_step(scene: RenderScene, settings: RenderSettings,
     # (replaces ~12 separate TPU gathers — see MaterialArray.gather).
     mats_lane = scene.materials.gather(mat_idx)
 
+    # Ray footprint in uv units for trilinear mip selection (Texture.h
+    # Trilinear): per-triangle texel density × the pixel's world-space
+    # width at the hit, spread by the incidence angle. Bounces reuse the
+    # same segment-distance formula (primary-exact, bounce-approximate).
+    if settings.trilinear_textures and pixel_angle is not None:
+        world_area = 0.5 * jnp.linalg.norm(
+            jnp.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]), axis=-1)
+        uv1 = uv[:, 1] - uv[:, 0]
+        uv2 = uv[:, 2] - uv[:, 0]
+        uv_area = 0.5 * jnp.abs(uv1[:, 0] * uv2[:, 1]
+                                - uv1[:, 1] * uv2[:, 0])
+        density = jnp.sqrt(uv_area / jnp.maximum(world_area, 1e-20))
+        t_safe = jnp.where(hit.mask, hit.t, 0.0)
+        # Grazing incidence elongates the footprint along the view;
+        # cap the anisotropy compensation at 20:1 (GPU aniso-style).
+        spread = jnp.maximum(jnp.abs(dot(geo_normal, direction)), 0.05)
+        footprint_uv = density * t_safe * pixel_angle / spread
+    else:
+        footprint_uv = None
+
     # Textured material parameters (tint/roughness/metallic/coverage).
     tex_tint, tex_roughness, tex_metallic, tex_coverage = \
-        _surface_material_params(scene, mats_lane, texcoord, tr_scale)
+        _surface_material_params(scene, mats_lane, texcoord, tr_scale,
+                                 footprint_uv=footprint_uv,
+                                 trilinear=settings.trilinear_textures)
 
     flags = mats_lane.flags
     # Cutouts are implicitly thin-walled (Types.h:384: is_thin_walled()
@@ -749,6 +793,14 @@ def _wavefront_step(scene: RenderScene, settings: RenderSettings,
 # Entry points
 # ---------------------------------------------------------------------------
 
+
+def _camera_pixel_angle(camera: PinholeCamera, height: int):
+    """Vertical angular size of one pixel: fov_y/height with
+    fov_y = 2·atan(1/proj[1,1]) — the footprint driver for trilinear
+    mip selection."""
+    f = camera.projection[1, 1]
+    return 2.0 * jnp.arctan(1.0 / jnp.maximum(f, 1e-6)) / height
+
 def render_sample_pixels(scene: RenderScene, camera: PinholeCamera,
                          x, y, width: int, height: int, accumulation,
                          settings: RenderSettings = RenderSettings()):
@@ -784,7 +836,10 @@ def render_sample_pixels(scene: RenderScene, camera: PinholeCamera,
     # Iterations = bounces + slack for coverage/backface passthrough lanes
     # (each iteration is one shade OR one passthrough; see passthrough_slack).
     n_iters = settings.max_bounce_count + 1 + settings.passthrough_slack
-    step = partial(_wavefront_step, scene, settings, accumulation)
+    step = partial(_wavefront_step, scene, settings, accumulation,
+                   pixel_angle=_camera_pixel_angle(camera, height))
+    if settings.remat_bounces:
+        step = jax.checkpoint(step)
     state = jax.lax.fori_loop(0, n_iters, lambda i, s: step(s), state)
     return state.radiance.reshape(shape + (3,))
 
@@ -860,7 +915,8 @@ def render_pixels_pooled(scene: RenderScene, camera: PinholeCamera,
     state0 = _make_camera_lanes(camera, pixel_idx0, width, height,
                                 accumulation, pixel_end)
     accum0 = jnp.zeros((n_pixels, 3), jnp.float32)
-    step = partial(_wavefront_step, scene, settings, accumulation)
+    step = partial(_wavefront_step, scene, settings, accumulation,
+                   pixel_angle=_camera_pixel_angle(camera, height))
 
     # Safety bound: generous multiple of the expected iteration count
     # (per-wave bounces+passthroughs × number of pool refills) so a

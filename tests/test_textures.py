@@ -142,3 +142,99 @@ class TestTexturedRendering:
         covered_side = img[16, 26]
         assert cutout_side[1] > 2.5      # green emissive wall shows through
         assert covered_side[1] < 0.5     # blocked by the red quad
+
+
+class TestTrilinearMipChain:
+    """Render-time trilinear minification (Texture.h:26-60, VERDICT r3 #6)."""
+
+    def _checker_bank(self, filt):
+        import numpy as np
+        from bifrost3d_tpu.io.texture import TextureBank
+        c = np.indices((64, 64)).sum(axis=0) % 2
+        img = np.stack([c, c, c], axis=-1).astype(np.float32)
+        return TextureBank.build([dict(image=img, filter=filt)])
+
+    def test_mip_chain_packing(self):
+        import numpy as np
+        from bifrost3d_tpu.io.texture import FILTER_TRILINEAR
+        bank = self._checker_bank(FILTER_TRILINEAR)
+        sizes = np.asarray(bank.mip_sizes[0])
+        assert int(bank.n_levels[0]) == 7          # 64 → 1
+        np.testing.assert_array_equal(sizes[0], [64, 64])
+        np.testing.assert_array_equal(sizes[6], [1, 1])
+        # Level offsets are cumulative heights.
+        offs = np.asarray(bank.mip_offsets[0])
+        assert offs[1] == 64 and offs[2] == 96
+        # Deep mip of a 50% checker is the mean color.
+        data = np.asarray(bank.data[0])
+        np.testing.assert_allclose(data[offs[6], 0, :3], 0.5, atol=1e-5)
+
+    def test_level0_matches_bilinear_default(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from bifrost3d_tpu.io.texture import FILTER_LINEAR, sample_texture
+        bank = self._checker_bank(FILTER_LINEAR)
+        rng = np.random.default_rng(3)
+        uv = jnp.asarray(rng.random((128, 2)), jnp.float32)
+        tid = jnp.zeros(128, jnp.int32)
+        a = sample_texture(bank, tid, uv)
+        b = sample_texture(bank, tid, uv, footprint_uv=jnp.zeros(128),
+                           trilinear=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_large_footprint_converges_to_mean(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from bifrost3d_tpu.io.texture import FILTER_TRILINEAR, sample_texture
+        bank = self._checker_bank(FILTER_TRILINEAR)
+        uv = jnp.asarray(np.random.default_rng(5).random((64, 2)), jnp.float32)
+        tid = jnp.zeros(64, jnp.int32)
+        out = sample_texture(bank, tid, uv,
+                             footprint_uv=jnp.full(64, 4.0), trilinear=True)
+        np.testing.assert_allclose(np.asarray(out[:, :3]), 0.5, atol=1e-3)
+
+    def test_trilinear_reduces_distant_aliasing(self):
+        """A distant checkered floor rendered with the trilinear path has
+        far less pixel-to-pixel variance than level-0 sampling — the
+        aliasing regression VERDICT r3 #6 asks for."""
+        import numpy as np
+        import jax.numpy as jnp
+        from bifrost3d_tpu.geometry import make_plane
+        from bifrost3d_tpu.integrator.path_tracer import (
+            render_sample, settings_for_scene)
+        from bifrost3d_tpu.io.texture import FILTER_TRILINEAR, TextureBank
+        from bifrost3d_tpu.lights.types import LIGHT_DIRECTIONAL, LightArray
+        from bifrost3d_tpu.scene.camera import perspective_camera
+        from bifrost3d_tpu.scene.materials import MaterialArray
+        from bifrost3d_tpu.scene.render_scene import build_render_scene
+
+        c = np.indices((256, 256)).sum(axis=0) % 2
+        img = np.stack([c, c, c], axis=-1).astype(np.float32)
+        bank = TextureBank.build([dict(image=img, filter=FILTER_TRILINEAR)])
+        mats = MaterialArray.build([dict(tint=(1, 1, 1), roughness=1.0,
+                                         tint_roughness_texture=0)])
+        floor = make_plane(size=200.0)
+        lights = LightArray.build([
+            {"kind": LIGHT_DIRECTIONAL, "direction": (0, -1, 0.2),
+             "radiance": (3.0, 3.0, 3.0)}])
+        scene = build_render_scene([(floor, 0, None)], mats, lights,
+                                   textures=bank)
+        cam = perspective_camera(eye=(0, 1.0, 0), target=(0, 0.0, 30.0))
+        settings_tri = settings_for_scene(scene, max_bounce_count=0,
+                                          next_event_sample_count=1)
+        assert settings_tri.trilinear_textures
+        settings_l0 = settings_tri._replace(trilinear_textures=False)
+        img_tri = np.asarray(render_sample(scene, cam, 64, 64,
+                                           jnp.uint32(0), settings_tri))
+        img_l0 = np.asarray(render_sample(scene, cam, 64, 64,
+                                          jnp.uint32(0), settings_l0))
+        # Distant band: rows just below the horizon (far floor).
+        horizon = next(i for i in range(64)
+                       if img_l0[i].mean() > 1e-4)
+        band_tri = img_tri[horizon + 1:horizon + 7].mean(axis=-1)
+        band_l0 = img_l0[horizon + 1:horizon + 7].mean(axis=-1)
+        # Horizontal (within-row) variation isolates checker aliasing from
+        # the legitimate vertical shading falloff.
+        row_std_l0 = band_l0.std(axis=1).mean()
+        row_std_tri = band_tri.std(axis=1).mean()
+        assert row_std_l0 > 2.0 * row_std_tri, (row_std_l0, row_std_tri)
