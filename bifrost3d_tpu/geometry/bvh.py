@@ -249,3 +249,64 @@ def _check_stack_depth(bvh: BVH) -> BVH:
             "(e.g. a long chain of coincident triangles). Split or clean "
             "the mesh, or raise traverse.STACK_SIZE.")
     return bvh
+
+
+def refit_bvh(bvh: BVH, positions, indices) -> BVH:
+    """Recompute node AABBs for MOVED geometry, keeping the tree topology
+    and primitive order — the reference's refit-able top-level accel
+    (OptiXRenderer/Renderer.cpp:1010-1041): a transform edit must not pay
+    a SAH rebuild.
+
+    Vectorized bottom-up: leaf boxes via segmented reductions over the
+    DFS-contiguous primitive slices, internal boxes by level (deepest
+    first; the preorder layout guarantees children have larger indices and
+    strictly larger depth than their parent).
+    """
+    pos = np.asarray(positions, np.float64)
+    idx = np.asarray(indices, np.int64)
+    tri = pos[idx]
+    tmin = tri.min(axis=1).astype(np.float32)
+    tmax = tri.max(axis=1).astype(np.float32)
+
+    a = np.asarray(bvh.node_a)
+    cnt = np.asarray(bvh.node_count)
+    order = np.asarray(bvh.prim_indices)
+    n = a.shape[0]
+    nmin = np.zeros((n, 3), np.float32)
+    nmax = np.zeros((n, 3), np.float32)
+
+    # Leaves: prim slices [a, a+cnt) over `order` are DFS-contiguous —
+    # segmented min/max via reduceat on the slice starts (sorted by start).
+    leaves = np.flatnonzero(cnt > 0)
+    if leaves.size:
+        by_start = leaves[np.argsort(a[leaves], kind="stable")]
+        starts = a[by_start]
+        pm_min = tmin[order]
+        pm_max = tmax[order]
+        nmin[by_start] = np.minimum.reduceat(pm_min, starts, axis=0)
+        nmax[by_start] = np.maximum.reduceat(pm_max, starts, axis=0)
+
+    # Node depths in one vectorized frontier sweep.
+    internal = cnt == 0
+    depth = np.zeros(n, np.int32)
+    frontier = np.asarray([0], np.int64)
+    d = 0
+    while frontier.size:
+        depth[frontier] = d
+        inner = frontier[internal[frontier]]
+        frontier = np.concatenate([inner + 1, a[inner].astype(np.int64)])
+        d += 1
+
+    # Internal boxes, deepest level first.
+    for lvl in range(d - 1, -1, -1):
+        nodes = np.flatnonzero(internal & (depth == lvl))
+        if nodes.size == 0:
+            continue
+        left = nodes + 1
+        right = a[nodes]
+        nmin[nodes] = np.minimum(nmin[left], nmin[right])
+        nmax[nodes] = np.maximum(nmax[left], nmax[right])
+
+    return BVH(node_min=jnp.asarray(nmin), node_max=jnp.asarray(nmax),
+               node_a=bvh.node_a, node_count=bvh.node_count,
+               prim_indices=bvh.prim_indices)

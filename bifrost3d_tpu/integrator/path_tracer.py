@@ -130,6 +130,10 @@ def settings_for_scene(scene: RenderScene, **overrides) -> RenderSettings:
                          scene.textures.has_trilinear()
                          if hasattr(scene.textures, "has_trilinear")
                          else False)
+    # Remat the bounce loop: free in forward-only jits (checkpoint only
+    # changes AD), 1.6x on the CornellBox train step (BASELINE.md r4
+    # backward roofline: 74.9 -> 45.7 ms at 256², 2 bounces).
+    overrides.setdefault("remat_bounces", True)
     return RenderSettings(shading_models_present=present, **overrides)
 
 

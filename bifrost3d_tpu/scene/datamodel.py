@@ -477,6 +477,13 @@ class SceneSync:
             scene = scene._replace(materials=self._build_materials())
         elif changed == {"lights"} and updates_only(d.lights):
             scene = scene._replace(lights=self._build_lights())
+        elif changed == {"nodes"} and updates_only(d.nodes):
+            # Transform-only edit: retransform the soup and REFIT the BVH
+            # topology instead of a SAH rebuild (Renderer.cpp:1010-1041);
+            # lights follow their nodes, everything else is reused.
+            from bifrost3d_tpu.scene.render_scene import refit_render_scene
+            scene = refit_render_scene(scene, self._instances())._replace(
+                lights=self._build_lights())
         elif changed == {"roots"}:
             env_map, env_tint = self._root_environment()
             env = None
@@ -530,6 +537,18 @@ class SceneSync:
             light_dicts.append(li)
         return LightArray.build(light_dicts)
 
+    def _instances(self):
+        d = self.data
+        mat_index = {int(uid): i for i, uid in enumerate(d.materials)}
+        instances = []
+        for model_id in d.models:
+            node, mesh_id, mat_id = d.models.get_binding(model_id)
+            mesh = d.meshes.get_mesh(mesh_id)
+            world = d.nodes.get_global_transform(node)
+            instances.append((mesh, mat_index.get(int(mat_id), 0),
+                              _transform_to_matrix(world)))
+        return instances
+
     def _root_environment(self):
         d = self.data
         env_map, env_tint = None, (0.0, 0.0, 0.0)
@@ -559,13 +578,7 @@ class SceneSync:
 
         mats = self._build_materials()
 
-        instances = []
-        for model_id in d.models:
-            node, mesh_id, mat_id = d.models.get_binding(model_id)
-            mesh = d.meshes.get_mesh(mesh_id)
-            world = d.nodes.get_global_transform(node)
-            instances.append((mesh, mat_index.get(int(mat_id), 0),
-                              _transform_to_matrix(world)))
+        instances = self._instances()
 
         lights = self._build_lights()
         env_map, env_tint = self._root_environment()

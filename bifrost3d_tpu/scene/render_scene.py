@@ -60,15 +60,9 @@ class RenderScene(NamedTuple):
     environment_presampled: Optional[object] = None
 
 
-@host_build
-def build_render_scene(instances, materials: MaterialArray,
-                       lights: Optional[LightArray] = None,
-                       environment_map=None,
-                       environment_tint=(0.0, 0.0, 0.0),
-                       textures: Optional[TextureBank] = None,
-                       presample_environment: int = 0) -> RenderScene:
-    """instances: list of (TriangleMesh, material_index) or
-    (TriangleMesh, material_index, matrix3x4)."""
+def _assemble_soup(instances):
+    """Flatten (mesh, material, matrix3x4) instances into world-space
+    per-corner numpy arrays."""
     from bifrost3d_tpu.geometry.mesh import transform_mesh
 
     verts, normals, uvs, trs, mat_ids = [], [], [], [], []
@@ -92,11 +86,24 @@ def build_render_scene(instances, materials: MaterialArray,
         trs.append(tr[idx])
         mat_ids.append(np.full(idx.shape[0], mat_id, np.int32))
 
-    tri_verts = np.concatenate(verts).astype(np.float32)
-    tri_normals = np.concatenate(normals).astype(np.float32)
-    tri_uvs = np.concatenate(uvs).astype(np.float32)
-    tri_tr = np.concatenate(trs).astype(np.float32)
-    tri_material = np.concatenate(mat_ids)
+    return (np.concatenate(verts).astype(np.float32),
+            np.concatenate(normals).astype(np.float32),
+            np.concatenate(uvs).astype(np.float32),
+            np.concatenate(trs).astype(np.float32),
+            np.concatenate(mat_ids))
+
+
+@host_build
+def build_render_scene(instances, materials: MaterialArray,
+                       lights: Optional[LightArray] = None,
+                       environment_map=None,
+                       environment_tint=(0.0, 0.0, 0.0),
+                       textures: Optional[TextureBank] = None,
+                       presample_environment: int = 0) -> RenderScene:
+    """instances: list of (TriangleMesh, material_index) or
+    (TriangleMesh, material_index, matrix3x4)."""
+    tri_verts, tri_normals, tri_uvs, tri_tr, tri_material = \
+        _assemble_soup(instances)
 
     # Finite-table precondition: the integrator fetches attributes through
     # one-hot/hat-weight matmuls, where a single NaN/Inf row (degenerate
@@ -144,6 +151,46 @@ def build_render_scene(instances, materials: MaterialArray,
         tri_components=_packed_components(tri_verts),
         tri_clustered=_packed_clusters(tri_verts, bvh),
         environment_presampled=env_pool,
+    )
+
+
+@host_build
+def refit_render_scene(scene: RenderScene, instances) -> RenderScene:
+    """Transform-only scene update: rebuild the world-space soup and REFIT
+    the existing BVH topology (geometry/bvh.py refit_bvh) instead of a SAH
+    rebuild — the reference's refit-able top-level accel on transform
+    change (Renderer.cpp:1010-1041, VERDICT r3 #7). Materials, textures,
+    lights, and environment buffers are reused by identity.
+
+    ``instances`` must bind the SAME meshes in the same order as the
+    original build (only the matrices may differ) — asserted via the
+    triangle count.
+    """
+    from bifrost3d_tpu.geometry.bvh import refit_bvh
+    from bifrost3d_tpu.math.octahedral import octahedral_encode
+
+    tri_verts, tri_normals, tri_uvs, tri_tr, tri_material = \
+        _assemble_soup(instances)
+    if tri_verts.shape[0] != int(scene.tri_verts.shape[0]):
+        raise ValueError("refit requires identical instance topology; "
+                         "rebuild instead")
+
+    flat_pos = tri_verts.reshape(-1, 3)
+    flat_idx = np.arange(flat_pos.shape[0], dtype=np.int32).reshape(-1, 3)
+    bvh = refit_bvh(scene.bvh, flat_pos, flat_idx)
+
+    extent = float(np.max(flat_pos.max(axis=0) - flat_pos.min(axis=0))) \
+        if flat_pos.size else 1.0
+    return scene._replace(
+        tri_verts=jnp.asarray(tri_verts),
+        tri_normals_oct=octahedral_encode(_safe_unit(tri_normals)),
+        tri_uvs=jnp.asarray(tri_uvs),
+        tri_tint_roughness=jnp.asarray(tri_tr),
+        tri_material=jnp.asarray(tri_material),
+        bvh=bvh,
+        scene_epsilon=jnp.asarray(max(extent, 1e-3) * 1e-4, jnp.float32),
+        tri_components=_packed_components(tri_verts),
+        tri_clustered=_packed_clusters(tri_verts, bvh),
     )
 
 
