@@ -76,6 +76,10 @@ def main(argv=None):
     parser.add_argument("--tonemapper", default="filmic",
                         choices=["linear", "filmic", "agx", "khronos"])
     parser.add_argument("--path-regularization", type=float, default=0.0)
+    parser.add_argument("--high-precision", action="store_true",
+                        help="Kahan-compensated accumulation (the TPU "
+                        "counterpart of DOUBLE_PRECISION_ACCUMULATION_"
+                        "BUFFER, Defines.h:14) for 2048+ spp renders")
     parser.add_argument("--renderer", default="pathtracer",
                         choices=["pathtracer", "preview", "denoised"],
                         help="path tracer, rasterizer-style preview (the "
@@ -190,7 +194,8 @@ def main(argv=None):
                         metadata={"scene": args.scene})
         else:
             hdr = render_progressive(scene, camera, width, height,
-                                     args.accumulations, settings)
+                                     args.accumulations, settings,
+                                     high_precision=args.high_precision)
         mode = {"linear": TONEMAP_LINEAR, "filmic": TONEMAP_FILMIC,
                 "agx": TONEMAP_AGX, "khronos": TONEMAP_KHRONOS_NEUTRAL}[args.tonemapper]
         post = CameraEffectsSettings.preset()._replace(

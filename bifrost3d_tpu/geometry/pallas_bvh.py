@@ -347,8 +347,10 @@ def hierarchical_intersect_sorted(packed: HierTriangles, origin, direction,
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
     lo = packed.node_boxes[0, 0:3]
     hi = packed.node_boxes[0, 3:6]
-    scale = 15.0 / jnp.maximum(hi - lo, 1e-20)
-    q = jnp.clip((origin - lo) * scale, 0.0, 15.0).astype(jnp.uint32)
+    # 6 bits/axis: the r4 sweep (BASELINE.md) measured 3-6 bits within 3%
+    # of each other — the sort itself is the win — with 6 marginally best.
+    scale = 63.0 / jnp.maximum(hi - lo, 1e-20)
+    q = jnp.clip((origin - lo) * scale, 0.0, 63.0).astype(jnp.uint32)
     m = morton_encode_3d(q[:, 0], q[:, 1], q[:, 2])
     octant = ((direction[:, 0] < 0).astype(jnp.uint32) * 4
               + (direction[:, 1] < 0).astype(jnp.uint32) * 2

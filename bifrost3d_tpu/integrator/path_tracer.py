@@ -976,15 +976,15 @@ def render_pixels_pooled(scene: RenderScene, camera: PinholeCamera,
                 d = st.direction
                 lo = scene.bvh.node_min[0]
                 hi = scene.bvh.node_max[0]
-                scale = 15.0 / jnp.maximum(hi - lo, 1e-20)
-                q = jnp.clip((st.origin - lo) * scale, 0.0, 15.0
+                scale = 63.0 / jnp.maximum(hi - lo, 1e-20)
+                q = jnp.clip((st.origin - lo) * scale, 0.0, 63.0
                              ).astype(jnp.uint32)
-                m = morton_encode_3d(q[:, 0], q[:, 1], q[:, 2])  # 12 bits
+                m = morton_encode_3d(q[:, 0], q[:, 1], q[:, 2])  # 18 bits
                 octant = ((d[:, 0] < 0).astype(jnp.uint32) * 4
                           + (d[:, 1] < 0).astype(jnp.uint32) * 2
                           + (d[:, 2] < 0).astype(jnp.uint32))
                 key = ((m << jnp.uint32(3)) | octant).astype(jnp.int32)
-                key = key + jnp.where(st.active, 0, 1 << 20)
+                key = key + jnp.where(st.active, 0, 1 << 22)
                 order = jnp.argsort(key, stable=True)
                 return (jax.tree.map(lambda f: f[order], st), pix[order])
 
@@ -1096,13 +1096,32 @@ def render_sample_fast(scene: RenderScene, camera: PinholeCamera,
 def render_progressive(scene: RenderScene, camera: PinholeCamera,
                        width: int, height: int, accumulations: int,
                        settings: RenderSettings = RenderSettings(),
-                       pool_size: int = 65536):
+                       pool_size: int = 65536,
+                       high_precision: bool = False):
     """Progressive accumulation (lerp 1/(n+1), SimpleRGPs.cu:74-107).
 
     Forward product path: each sample renders through
     :func:`render_sample_fast` (mesh megakernel on TPU where eligible,
     pooled compacting wavefront otherwise).
+
+    ``high_precision`` is the counterpart of the reference's
+    DOUBLE_PRECISION_ACCUMULATION_BUFFER (Defines.h:14,
+    SimpleRGPs.cu:74-107): instead of an emulated f64 buffer (slow on
+    TPU), the running SUM is kept in Kahan-compensated f32 — a (sum,
+    compensation) pair whose error bound matches a double accumulator for
+    the 8192-sample golden counts — and divided once at the end.
     """
+    if high_precision:
+        total = jnp.zeros((height, width, 3), jnp.float32)
+        comp = jnp.zeros((height, width, 3), jnp.float32)
+        for n in range(accumulations):
+            frame = render_sample_fast(scene, camera, width, height, n,
+                                       settings, pool_size)
+            y = frame - comp
+            t = total + y
+            comp = (t - total) - y
+            total = t
+        return total / max(accumulations, 1)
     buffer = jnp.zeros((height, width, 3), jnp.float32)
     for n in range(accumulations):
         frame = render_sample_fast(scene, camera, width, height, n,

@@ -382,3 +382,22 @@ class TestDeterminism:
         a = np.asarray(render_sample(furnace_scene, cam, W, H, 1))
         b = np.asarray(render_sample(furnace_scene, cam, W, H, 2))
         assert not np.array_equal(a, b)
+
+
+def test_high_precision_accumulation_matches_running_mean():
+    """Kahan-compensated accumulation (the DOUBLE_PRECISION_ACCUMULATION_
+    BUFFER counterpart, Defines.h:14) agrees with the running mean at low
+    counts where f32 drift is negligible."""
+    import numpy as np
+    import jax.numpy as jnp
+    from bifrost3d_tpu.apps.scenes import create_cornell_box
+    from bifrost3d_tpu.integrator.path_tracer import (
+        render_progressive, settings_for_scene)
+
+    scene, cam = create_cornell_box()
+    settings = settings_for_scene(scene, max_bounce_count=1)
+    a = render_progressive(scene, cam, 16, 16, 4, settings)
+    b = render_progressive(scene, cam, 16, 16, 4, settings,
+                           high_precision=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
