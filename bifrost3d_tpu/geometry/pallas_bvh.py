@@ -43,7 +43,9 @@ from jax.experimental.pallas import tpu as pltpu
 from bifrost3d_tpu.geometry.traverse import Hit
 from bifrost3d_tpu.geometry.pallas_intersect import _mt_block, _pad_to
 
-BLOCK_R = 256     # rays per grid step
+BLOCK_R = 128     # rays per grid step (r4 sweep: 128 beats 256 by 28% on
+                  # coherent and 10% on sorted-incoherent traces — finer
+                  # blocks cull better; BASELINE.md)
 CLUSTER_T = 512   # triangles per cluster (= one DMA block)
 STACK = 64        # block-shared traversal stack (depth-checked at build)
 _BIG = 3.0e38
@@ -141,10 +143,18 @@ def pack_hierarchical(tri_verts, bvh=None) -> HierTriangles:
 
 
 def _make_hier_kernel(any_hit: bool):
-    def kernel(n_tris_ref, meta_ref, rays_ref, boxes_ref, tris_hbm,
-               t_out, prim_out, u_out, v_out, stack_ref, tri_buf, sem):
-        """One grid step = one BLOCK_R ray block; block-shared traversal."""
+    def kernel(n_tris_ref, n_live_ref, meta_ref, rays_ref, boxes_ref,
+               tris_hbm, t_out, prim_out, u_out, v_out, stack_ref, tri_buf,
+               sem):
+        """One grid step = one BLOCK_R ray block; block-shared traversal.
+
+        Blocks whose rays lie entirely past the caller's LIVE PREFIX
+        (``n_live`` — the pooled wavefront sorts inactive lanes last)
+        write miss outputs and skip traversal entirely, so drained pool
+        iterations cost O(live), not O(pool) (BASELINE.md r4).
+        """
         n_tris = n_tris_ref[0]
+        block_live = pl.program_id(0) * BLOCK_R < n_live_ref[0]
 
         o = (rays_ref[0, :][:, None], rays_ref[1, :][:, None],
              rays_ref[2, :][:, None])
@@ -262,7 +272,9 @@ def _make_hier_kernel(any_hit: bool):
                 sp = jnp.where(jnp.all(prim_out[:, :] >= 0), 0, sp)
             return sp
 
-        jax.lax.while_loop(cond, body, jnp.int32(1))
+        @pl.when(block_live)
+        def _():
+            jax.lax.while_loop(cond, body, jnp.int32(1))
 
     return kernel
 
@@ -270,8 +282,13 @@ def _make_hier_kernel(any_hit: bool):
 @partial(jax.jit, static_argnames=("any_hit", "interpret"))
 def hierarchical_intersect(packed: HierTriangles, origin, direction,
                            t_min, t_max, any_hit: bool = False,
-                           interpret: bool = False) -> Hit:
+                           interpret: bool = False,
+                           live_count=None) -> Hit:
     """Nearest hit (or any-hit occlusion) via block-level BVH traversal.
+
+    ``live_count`` (traced i32, optional): rays at index ≥ live_count are
+    known-inactive (the pooled wavefront's sorted prefix); their blocks
+    skip traversal and report misses.
 
     Same contract as ``pallas_intersect``: returned prim ids are ORIGINAL
     triangle indices (the cluster reorder is undone host-side). With
@@ -295,11 +312,16 @@ def hierarchical_intersect(packed: HierTriangles, origin, direction,
     ]
     block_out = pl.BlockSpec((BLOCK_R, 1), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
+    if live_count is None:
+        live_arr = jnp.asarray([r_pad], jnp.int32)
+    else:
+        live_arr = jnp.asarray(live_count, jnp.int32).reshape(1)
     t, prim, u, v = pl.pallas_call(
         _make_hier_kernel(any_hit),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # n_tris
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # n_live
             pl.BlockSpec(memory_space=pltpu.SMEM),   # node_meta
             pl.BlockSpec((8, BLOCK_R), lambda i: (0, i),
                          memory_space=pltpu.VMEM),   # rays
@@ -314,8 +336,8 @@ def hierarchical_intersect(packed: HierTriangles, origin, direction,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(jnp.asarray([packed.n_tris], jnp.int32), packed.node_meta, rays,
-      packed.node_boxes, packed.tri_components)
+    )(jnp.asarray([packed.n_tris], jnp.int32), live_arr,
+      packed.node_meta, rays, packed.node_boxes, packed.tri_components)
 
     t = t[:r, 0]
     prim_local = prim[:r, 0]

@@ -71,11 +71,16 @@ def _mt_block(o, d, tri, t_min):
     return t, u, v, valid
 
 
-def _intersect_kernel(n_tris_ref, rays_ref, tris_hbm, t_out, prim_out,
-                      u_out, v_out, tri_buf, sem):
-    """One grid step = one BLOCK_R ray block against ALL triangles."""
+def _intersect_kernel(n_tris_ref, n_live_ref, rays_ref, tris_hbm, t_out,
+                      prim_out, u_out, v_out, tri_buf, sem):
+    """One grid step = one BLOCK_R ray block against ALL triangles.
+
+    Blocks past the caller's live prefix (``n_live``, pooled-wavefront
+    sorted order) write misses and skip the triangle stream entirely.
+    """
     n_blocks = tris_hbm.shape[1] // BLOCK_T
     n_tris = n_tris_ref[0]
+    block_live = pl.program_id(0) * BLOCK_R < n_live_ref[0]
 
     o = (rays_ref[0, :][:, None], rays_ref[1, :][:, None], rays_ref[2, :][:, None])
     d = (rays_ref[3, :][:, None], rays_ref[4, :][:, None], rays_ref[5, :][:, None])
@@ -87,7 +92,11 @@ def _intersect_kernel(n_tris_ref, rays_ref, tris_hbm, t_out, prim_out,
             tris_hbm.at[:, pl.ds(block * BLOCK_T, BLOCK_T)],
             tri_buf.at[slot], sem.at[slot])
 
-    get_dma(0, 0).start()
+    @pl.when(block_live)
+    def _():
+        # Warm-up DMA only for live blocks: a started-but-unwaited copy
+        # must not outlive the kernel instance.
+        get_dma(0, 0).start()
 
     def body(block, state):
         best_t, best_prim, best_u, best_v = state
@@ -122,17 +131,24 @@ def _intersect_kernel(n_tris_ref, rays_ref, tris_hbm, t_out, prim_out,
         best_t = jnp.where(closer, row_best, best_t)
         return best_t, best_prim, best_u, best_v
 
-    init = (jnp.full((BLOCK_R, 1), _BIG, jnp.float32),
-            jnp.full((BLOCK_R, 1), -1, jnp.int32),
-            jnp.zeros((BLOCK_R, 1), jnp.float32),
-            jnp.zeros((BLOCK_R, 1), jnp.float32))
-    best_t, best_prim, best_u, best_v = jax.lax.fori_loop(
-        0, n_blocks, body, init)
+    t_out[:, 0] = jnp.full((BLOCK_R,), _BIG, jnp.float32)
+    prim_out[:, 0] = jnp.full((BLOCK_R,), -1, jnp.int32)
+    u_out[:, 0] = jnp.zeros((BLOCK_R,), jnp.float32)
+    v_out[:, 0] = jnp.zeros((BLOCK_R,), jnp.float32)
 
-    t_out[:, 0] = best_t[:, 0]
-    prim_out[:, 0] = best_prim[:, 0]
-    u_out[:, 0] = best_u[:, 0]
-    v_out[:, 0] = best_v[:, 0]
+    @pl.when(block_live)
+    def _():
+        init = (jnp.full((BLOCK_R, 1), _BIG, jnp.float32),
+                jnp.full((BLOCK_R, 1), -1, jnp.int32),
+                jnp.zeros((BLOCK_R, 1), jnp.float32),
+                jnp.zeros((BLOCK_R, 1), jnp.float32))
+        best_t, best_prim, best_u, best_v = jax.lax.fori_loop(
+            0, n_blocks, body, init)
+
+        t_out[:, 0] = best_t[:, 0]
+        prim_out[:, 0] = best_prim[:, 0]
+        u_out[:, 0] = best_u[:, 0]
+        v_out[:, 0] = best_v[:, 0]
 
 
 def _pad_to(x, n, axis, value=0.0):
@@ -146,7 +162,8 @@ def _pad_to(x, n, axis, value=0.0):
 
 @partial(jax.jit, static_argnames=("interpret",))
 def pallas_intersect(tri_components, n_tris, origin, direction,
-                     t_min, t_max, interpret: bool = False) -> Hit:
+                     t_min, t_max, interpret: bool = False,
+                     live_count=None) -> Hit:
     """Nearest hit of rays against the full triangle soup.
 
     tri_components: [16, T_padded] float32 (v0, e1, e2 component-major,
@@ -171,11 +188,16 @@ def pallas_intersect(tri_components, n_tris, origin, direction,
     ]
     block_out = pl.BlockSpec((BLOCK_R, 1), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
+    if live_count is None:
+        live_arr = jnp.asarray([r_pad], jnp.int32)
+    else:
+        live_arr = jnp.asarray(live_count, jnp.int32).reshape(1)
     t, prim, u, v = pl.pallas_call(
         _intersect_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),            # n_tris
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # n_live
             pl.BlockSpec((8, BLOCK_R), lambda i: (0, i),
                          memory_space=pltpu.VMEM),            # rays
             pl.BlockSpec(memory_space=pl.ANY),             # tris (HBM)
@@ -187,7 +209,7 @@ def pallas_intersect(tri_components, n_tris, origin, direction,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(jnp.asarray([n_tris], jnp.int32), rays, tri_components)
+    )(jnp.asarray([n_tris], jnp.int32), live_arr, rays, tri_components)
 
     t = t[:r, 0]
     prim = prim[:r, 0]

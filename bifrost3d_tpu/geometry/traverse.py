@@ -117,7 +117,8 @@ def _use_pallas(tri_components, n_rays) -> bool:
 
 def intersect_scene(bvh: BVH, triangles, origin, direction,
                     t_min=1e-4, t_max=jnp.inf, any_hit: bool = False,
-                    tri_components=None, tri_clustered=None) -> Hit:
+                    tri_components=None, tri_clustered=None,
+                    live_count=None) -> Hit:
     """Strategy dispatch (static under jit, so the choice costs nothing):
 
     - TPU + small scene → dense Pallas streaming kernel
@@ -136,14 +137,16 @@ def intersect_scene(bvh: BVH, triangles, origin, direction,
             HierTriangles, hierarchical_intersect)
         if isinstance(tri_clustered, HierTriangles):
             return hierarchical_intersect(tri_clustered, origin, direction,
-                                          t_min, t_max, any_hit=any_hit)
+                                          t_min, t_max, any_hit=any_hit,
+                                          live_count=live_count)
         from bifrost3d_tpu.geometry.pallas_clustered import clustered_intersect
         return clustered_intersect(tri_clustered, origin, direction,
                                    t_min, t_max)
     if _use_pallas(tri_components, origin.shape[0]):
         from bifrost3d_tpu.geometry.pallas_intersect import pallas_intersect
         return pallas_intersect(tri_components, triangles.shape[0],
-                                origin, direction, t_min, t_max)
+                                origin, direction, t_min, t_max,
+                                live_count=live_count)
     if triangles.shape[0] <= BRUTE_FORCE_MAX_TRIS:
         return intersect_triangles_brute(triangles, origin, direction,
                                          t_min, t_max)
@@ -153,10 +156,10 @@ def intersect_scene(bvh: BVH, triangles, origin, direction,
 
 def intersect_scene_any(bvh: BVH, triangles, origin, direction,
                         t_min=1e-4, t_max=jnp.inf, tri_components=None,
-                        tri_clustered=None):
+                        tri_clustered=None, live_count=None):
     hit = intersect_scene(bvh, triangles, origin, direction, t_min, t_max,
                           any_hit=True, tri_components=tri_components,
-                          tri_clustered=tri_clustered)
+                          tri_clustered=tri_clustered, live_count=live_count)
     return hit.prim >= 0
 
 

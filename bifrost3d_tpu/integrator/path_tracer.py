@@ -579,7 +579,10 @@ class _PathState(NamedTuple):
 
 def _wavefront_step(scene: RenderScene, settings: RenderSettings,
                     accumulation, state: _PathState,
-                    pixel_angle=None) -> _PathState:
+                    pixel_angle=None, live_count=None) -> _PathState:
+    """``live_count`` (traced i32, optional): the pooled wavefront's sorted
+    live prefix — trace kernels skip whole ray blocks past it, so drained
+    pool iterations cost O(live), not O(pool)."""
     (origin, direction, throughput, radiance, bsdf_pdf, bsdf_was_delta,
      pixel_hash, bounce, active) = state
     eps = scene.scene_epsilon
@@ -594,7 +597,8 @@ def _wavefront_step(scene: RenderScene, settings: RenderSettings,
                       jax.lax.stop_gradient(origin),
                       jax.lax.stop_gradient(direction), t_min=eps,
                       tri_components=scene.tri_components,
-                      tri_clustered=scene.tri_clustered))
+                      tri_clustered=scene.tri_clustered,
+                      live_count=live_count))
     t_light, light_idx = _intersect_analytic_lights(scene, origin, direction)
 
     light_first = t_light < hit.t
@@ -742,7 +746,7 @@ def _wavefront_step(scene: RenderScene, settings: RenderSettings,
             jax.lax.stop_gradient(shadow_origin), jax.lax.stop_gradient(l_dir),
             t_min=eps, t_max=jax.lax.stop_gradient(l_dist) * (1.0 - 1e-4),
             tri_components=scene.tri_components,
-            tri_clustered=scene.tri_clustered))
+            tri_clustered=scene.tri_clustered, live_count=live_count))
         shadow_trans = jnp.where(occluded, 0.0, 1.0)
     radiance = radiance + jnp.where(
         has_light[..., None], l_radiance * shadow_trans[..., None], 0.0)
@@ -935,8 +939,41 @@ def render_pixels_pooled(scene: RenderScene, camera: PinholeCamera,
 
     def body(carry):
         state, pixel_idx, accum, next_pixel, it, rays = carry
+        if settings.sort_rays_every:
+            # Origin-Morton + direction-octant sort (inactive lanes last)
+            # BEFORE the step: keeps the trace kernel's ray blocks
+            # spatially AND directionally coherent so block-level BVH
+            # culling stays effective after bounces scatter ray origins
+            # (SURVEY §7.3 #1; octant alone recovered only +12% — bounce
+            # rays from distant surfaces share octants but not subtrees),
+            # and makes the live lanes a PREFIX the kernels can bound.
+            def sorted_pool(args):
+                from bifrost3d_tpu.math.morton import morton_encode_3d
+                st, pix = args
+                d = st.direction
+                lo = scene.bvh.node_min[0]
+                hi = scene.bvh.node_max[0]
+                scale = 63.0 / jnp.maximum(hi - lo, 1e-20)
+                q = jnp.clip((st.origin - lo) * scale, 0.0, 63.0
+                             ).astype(jnp.uint32)
+                m = morton_encode_3d(q[:, 0], q[:, 1], q[:, 2])  # 18 bits
+                octant = ((d[:, 0] < 0).astype(jnp.uint32) * 4
+                          + (d[:, 1] < 0).astype(jnp.uint32) * 2
+                          + (d[:, 2] < 0).astype(jnp.uint32))
+                key = ((m << jnp.uint32(3)) | octant).astype(jnp.int32)
+                key = key + jnp.where(st.active, 0, 1 << 22)
+                order = jnp.argsort(key, stable=True)
+                return (jax.tree.map(lambda f: f[order], st), pix[order])
+
+            state, pixel_idx = jax.lax.cond(
+                it % settings.sort_rays_every == 0,
+                sorted_pool, lambda args: args, (state, pixel_idx))
+        # Live lanes form a sorted prefix only when the pool was sorted
+        # THIS iteration — then the trace kernels can skip dead blocks.
+        live = jnp.sum(state.active.astype(jnp.int32)) \
+            if settings.sort_rays_every == 1 else None
         rays = rays + 2 * jnp.sum(state.active.astype(jnp.uint32))
-        state = step(state)
+        state = step(state, live_count=live)
         valid = pixel_idx < pixel_end
         done = valid & ~state.active
 
@@ -962,35 +999,6 @@ def render_pixels_pooled(scene: RenderScene, camera: PinholeCamera,
                       f, s)
             for f, s in zip(fresh, state)))
 
-        if settings.sort_rays_every:
-            # Origin-Morton + direction-octant sort (inactive lanes last):
-            # keeps the trace kernel's 256-ray blocks SPATIALLY tight as
-            # well as directionally coherent, so block-level BVH culling
-            # stays effective after bounces scatter ray origins across the
-            # scene (SURVEY §7.3 #1; VERDICT r3 #2 — octant alone recovers
-            # only +12% because bounce rays from distant surfaces share
-            # octants but not subtrees).
-            def sorted_pool(args):
-                from bifrost3d_tpu.math.morton import morton_encode_3d
-                st, pix = args
-                d = st.direction
-                lo = scene.bvh.node_min[0]
-                hi = scene.bvh.node_max[0]
-                scale = 63.0 / jnp.maximum(hi - lo, 1e-20)
-                q = jnp.clip((st.origin - lo) * scale, 0.0, 63.0
-                             ).astype(jnp.uint32)
-                m = morton_encode_3d(q[:, 0], q[:, 1], q[:, 2])  # 18 bits
-                octant = ((d[:, 0] < 0).astype(jnp.uint32) * 4
-                          + (d[:, 1] < 0).astype(jnp.uint32) * 2
-                          + (d[:, 2] < 0).astype(jnp.uint32))
-                key = ((m << jnp.uint32(3)) | octant).astype(jnp.int32)
-                key = key + jnp.where(st.active, 0, 1 << 22)
-                order = jnp.argsort(key, stable=True)
-                return (jax.tree.map(lambda f: f[order], st), pix[order])
-
-            state, pixel_idx = jax.lax.cond(
-                it % settings.sort_rays_every == settings.sort_rays_every - 1,
-                sorted_pool, lambda args: args, (state, pixel_idx))
         return state, pixel_idx, accum, next_pixel, it + 1, rays
 
     _, _, accum, _, _, rays = jax.lax.while_loop(

@@ -140,3 +140,37 @@ class TestSortedIntersect:
         m = np.asarray(ref.prim) >= 0
         np.testing.assert_allclose(np.asarray(ref.t)[m],
                                    np.asarray(got.t)[m], rtol=1e-5)
+
+
+class TestLivePrefix:
+    def test_dead_blocks_report_misses(self):
+        from bifrost3d_tpu.geometry.pallas_bvh import BLOCK_R
+        tri = _soup(1200)
+        packed = pack_hierarchical(tri)
+        o, d = _rays(4 * BLOCK_R, seed=7)
+        full = hierarchical_intersect(packed, jnp.asarray(o), jnp.asarray(d),
+                                      1e-4, jnp.inf, interpret=True)
+        live = jnp.int32(BLOCK_R + 3)  # prefix ends inside block 1
+        part = hierarchical_intersect(packed, jnp.asarray(o), jnp.asarray(d),
+                                      1e-4, jnp.inf, interpret=True,
+                                      live_count=live)
+        # Blocks 0 and 1 (covering the prefix) match the full trace...
+        np.testing.assert_array_equal(np.asarray(part.prim[:2 * BLOCK_R]),
+                                      np.asarray(full.prim[:2 * BLOCK_R]))
+        # ...blocks past the prefix report misses without work.
+        assert np.all(np.asarray(part.prim[2 * BLOCK_R:]) == -1)
+
+    def test_dense_kernel_live_prefix(self):
+        from bifrost3d_tpu.geometry.pallas_intersect import (
+            BLOCK_R as DENSE_BLOCK, pack_triangles, pallas_intersect)
+        tri = _soup(600)
+        comp, n = pack_triangles(jnp.asarray(tri))
+        o, d = _rays(2 * DENSE_BLOCK, seed=9)
+        full = pallas_intersect(comp, n, jnp.asarray(o), jnp.asarray(d),
+                                1e-4, jnp.inf, interpret=True)
+        part = pallas_intersect(comp, n, jnp.asarray(o), jnp.asarray(d),
+                                1e-4, jnp.inf, interpret=True,
+                                live_count=jnp.int32(DENSE_BLOCK))
+        np.testing.assert_array_equal(np.asarray(part.prim[:DENSE_BLOCK]),
+                                      np.asarray(full.prim[:DENSE_BLOCK]))
+        assert np.all(np.asarray(part.prim[DENSE_BLOCK:]) == -1)
