@@ -1109,7 +1109,9 @@ def mesh_megakernel_eligible(scene: RenderScene,
         if settings.next_event_sample_count > 8:
             return False
         return True
-    except (AttributeError, TypeError):
+    except (AttributeError, TypeError, jax.errors.TracerArrayConversionError):
+        # Traced scenes (render_sample_fast under a caller's jit) cannot be
+        # inspected — fall back to the wavefront.
         return False
 
 
@@ -1119,6 +1121,8 @@ def _pack_scene(scene: RenderScene):
            id(scene.lights.kind))
     if key in _PACK_CACHE:
         return _PACK_CACHE[key]
+    if len(_PACK_CACHE) > 32:
+        _PACK_CACHE.clear()   # viewer-session bound; scenes are rebuilt rarely
     tv = np.asarray(scene.tri_verts, np.float32)        # [t, 3, 3]
     t = tv.shape[0]
     t_pad = max(8, ((t + 7) // 8) * 8)
@@ -1168,6 +1172,9 @@ def _pack_scene(scene: RenderScene):
     rho_fres = np.asarray(f.ggx_with_fresnel, np.float32)
 
     packed = dict(
+        # Pin the keyed arrays: id()-keyed caching is only sound while the
+        # originals stay alive (a GC'd array's id can be reused).
+        _pins=(scene.tri_verts, scene.materials.tint, scene.lights.kind),
         tri=jnp.asarray(tri), attr=jnp.asarray(attr),
         mats=jnp.asarray(mat_tab), lights=jnp.asarray(light_tab),
         rho_ggx=jnp.asarray(rho_ggx), rho_fres=jnp.asarray(rho_fres),
