@@ -2,91 +2,188 @@
 """Benchmark harness. Prints ONE JSON line {"metric", "value", "unit",
 "vs_baseline"} plus secondary keys.
 
-PRIMARY metric: the flagship mesh wavefront path tracer (Pallas trace,
-DefaultShading, RIS NEE + MIS) on the CornellBox at 512x512 through the
-pooled wavefront (compaction + ray regeneration) — the code path every
-product surface (SimpleBackend, simple_viewer, sharded/multi-host renders)
-ships through. The ray count is EXACT, tallied in-run inside the wavefront
-loop (live lanes × 2 traces per iteration), not extrapolated from a probe.
-``vs_baseline`` is the speedup over the round-1 architecture — the dense
-fixed-iteration wavefront (`render_sample`, the autodiff path) measured on
-the same rays in the same run. Conditions + speed-of-light analysis:
-BASELINE.md.
+PRIMARY metric: the flagship mesh path tracer on the CornellBox at 512x512
+through the PRODUCT path — the Pallas mesh megakernel
+(integrator/pallas_mesh.py, the whole path in one kernel; dispatched by
+render_sample_fast). Timed with REPS frames folded inside ONE jitted
+computation ending in a scalar fetch (the r3 roofline methodology —
+BASELINE.md: through the axon tunnel, per-dispatch overhead is ~2-4 ms and
+block_until_ready does not reliably block, so python-loop dispatch timing
+measures the tunnel, not the chip). ``vs_baseline`` is the speedup over the
+r2/r3 product path (the pooled compacting wavefront) measured the same
+folded way in the same run. The ray count is EXACT, tallied in-run (live
+lanes x 2 traces per iteration).
+
+Measurement discipline (VERDICT r3 #9): every headline metric is measured
+REPEATS(=3) independent times; this prints the MEDIAN and the spread
+(max-min)/median so the ±20% tunnel drift stops contaminating cross-round
+comparisons.
 
 Secondary keys:
-- smallpt_rays_per_sec: SmallPT spheres at the MEASURED live-ray count per
-  path (~6.55 at 1024x768). BENCH_r02's 14.4M used a hardcoded 3.45
-  rays/path with identical wall-clock — see BASELINE.md for the series
-  reconciliation (there was no regression).
-- train_step_ms / backward-pass rays/s: one jitted value_and_grad step of
-  the inverse renderer (material params) on the CornellBox.
-- torus_grid_590k: 589,824-triangle torus grid through the hierarchical
-  cluster-culled Pallas intersector (the large-scene path).
+- pooled/dense rays/s: the XLA wavefront paths (pooled = r2/r3 product
+  path, dense = the autodiff path), folded timing.
+- dispatch_frame_ms: the megakernel frame measured with python-loop
+  dispatch — the r3-comparable number (includes ~4 ms tunnel overhead per
+  frame; r3's 74.4 ms pooled frame was measured this way).
+- smallpt_rays_per_sec: SmallPT spheres (megakernel), measured live
+  rays/path.
+- train_step_ms / fwd_bwd_rays_per_sec: one jitted value_and_grad step of
+  the material-parameter inverse render (dense integrator).
+- torus_grid_590k: 589,824-tri torus grid through the hierarchical
+  block-BVH Pallas kernel.
 - material_scene_gltf: the 7-shader-ball glTF MaterialScene through the
-  full pooled wavefront.
+  pooled wavefront (not megakernel-eligible: 177k tris + textures).
 
 ``--profile`` wraps the primary loop in a jax.profiler trace.
 ``--quick`` skips the large scenes (dev iteration).
 """
 
 import json
+import statistics
 import sys
 import time
 
 import numpy as np
 
 REPS = 10
+REPEATS = 3
+
+
+def _median_spread(samples):
+    med = statistics.median(samples)
+    spread = (max(samples) - min(samples)) / med if med else 0.0
+    return med, spread
+
+
+def _measure(run_once, repeats=REPEATS):
+    """run_once() -> seconds. Returns (median, spread) over ``repeats``."""
+    samples = [run_once() for _ in range(repeats)]
+    return _median_spread(samples)
 
 
 def bench_cornell(profile: bool = False):
-    """Primary: mesh CornellBox 512² pooled wavefront + dense baseline."""
+    """Primary: mesh CornellBox 512² — megakernel + pooled + dense."""
     import jax
     import jax.numpy as jnp
     from bifrost3d_tpu.apps.scenes import create_cornell_box
+    from bifrost3d_tpu.integrator import pallas_mesh as PM
     from bifrost3d_tpu.integrator.path_tracer import (
-        render_sample, render_sample_pooled_counted, settings_for_scene)
+        render_sample, render_pixels_pooled, settings_for_scene)
 
     scene, cam = create_cornell_box()
     W = H = 512
     settings = settings_for_scene(scene, max_bounce_count=4)
+    use_mega = (jax.default_backend() == "tpu"
+                and PM.mesh_megakernel_eligible(scene, settings))
 
-    pooled = jax.jit(lambda n: render_sample_pooled_counted(
-        scene, cam, W, H, n, settings, pool_size=65536))
-    dense = jax.jit(lambda n: render_sample(scene, cam, W, H, n, settings))
+    # --- megakernel, folded reps (device-true) ---
+    if use_mega:
+        PM._pack_scene(scene)
 
-    def timed(f):
-        jax.block_until_ready(f(jnp.uint32(0)))
-        t0 = time.perf_counter()
-        out = None
-        for n in range(1, REPS + 1):
-            out = f(jnp.uint32(n))
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / REPS, out
+        @jax.jit
+        def mega_many():
+            acc = jnp.float32(0)
+            rays = jnp.float32(0)
+            for n in range(1, REPS + 1):
+                img, r = PM.render_mesh_megakernel(scene, cam, W, H,
+                                                   jnp.uint32(n), settings)
+                acc = acc + img.sum()
+                rays = r  # per-frame tally (same every frame ± noise)
+            return acc, rays
 
-    if profile:
-        import jax.profiler
-        with jax.profiler.trace("/tmp/bifrost_trace"):
-            dt_pooled, out = timed(pooled)
-        print("profile trace written to /tmp/bifrost_trace", file=sys.stderr)
+        def once_mega():
+            t0 = time.perf_counter()
+            _, rays = mega_many()
+            once_mega.rays = float(rays)
+            return (time.perf_counter() - t0) / REPS
+
+        float(mega_many()[0])  # compile + warm
+        if profile:
+            import jax.profiler
+            with jax.profiler.trace("/tmp/bifrost_trace"):
+                once_mega()
+            print("profile trace written to /tmp/bifrost_trace",
+                  file=sys.stderr)
+        mega_dt, mega_spread = _measure(once_mega)
+        mega_rays = once_mega.rays
+
+        # dispatch-path number (r3-comparable python-loop timing)
+        def once_dispatch():
+            t0 = time.perf_counter()
+            out = None
+            for n in range(1, REPS + 1):
+                out = PM.render_mesh_megakernel(scene, cam, W, H,
+                                                jnp.uint32(n), settings)
+            float(out[0].sum())
+            return (time.perf_counter() - t0) / REPS
+
+        dispatch_dt, _ = _measure(once_dispatch)
     else:
-        dt_pooled, out = timed(pooled)
-    rays = float(out[1])  # exact in-run tally of the last frame
-    dt_dense, _ = timed(dense)
+        mega_dt = mega_spread = dispatch_dt = None
+        mega_rays = 0.0
 
-    return {
-        "pooled_rays_per_sec": rays / dt_pooled,
-        "dense_rays_per_sec": rays / dt_dense,
-        "rays_per_frame": rays,
-        "pooled_ms": dt_pooled * 1e3,
-        "dense_ms": dt_dense * 1e3,
+    # --- pooled wavefront, folded reps (3 frames per dispatch) ---
+    POOL_REPS = 3
+
+    @jax.jit
+    def pooled_many():
+        acc = jnp.float32(0)
+        rays = jnp.float32(0)
+        for n in range(1, POOL_REPS + 1):
+            frame, r = render_pixels_pooled(scene, cam, W, H,
+                                            jnp.uint32(n), settings, 65536)
+            acc = acc + frame.sum()
+            rays = r
+        return acc, rays
+
+    def once_pooled():
+        t0 = time.perf_counter()
+        _, rays = pooled_many()
+        once_pooled.rays = float(rays)
+        return (time.perf_counter() - t0) / POOL_REPS
+
+    float(pooled_many()[0])
+    pooled_dt, pooled_spread = _measure(once_pooled)
+    pooled_rays = once_pooled.rays
+
+    # --- dense wavefront (autodiff path), folded ---
+    @jax.jit
+    def dense_many():
+        acc = jnp.float32(0)
+        for n in range(1, POOL_REPS + 1):
+            acc = acc + render_sample(scene, cam, W, H, jnp.uint32(n),
+                                      settings).sum()
+        return acc
+
+    float(dense_many())
+    def once_dense():
+        t0 = time.perf_counter()
+        float(dense_many())
+        return (time.perf_counter() - t0) / POOL_REPS
+    dense_dt, _ = _measure(once_dense)
+
+    out = {
+        "pooled_rays_per_sec": pooled_rays / pooled_dt,
+        "pooled_ms": pooled_dt * 1e3,
+        "pooled_spread": pooled_spread,
+        "dense_rays_per_sec": pooled_rays / dense_dt,
+        "dense_ms": dense_dt * 1e3,
+        "rays_per_frame": pooled_rays,
     }
+    if mega_dt is not None:
+        out.update({
+            "mega_rays_per_sec": mega_rays / mega_dt,
+            "mega_ms": mega_dt * 1e3,
+            "mega_spread": mega_spread,
+            "mega_rays_per_frame": mega_rays,
+            "dispatch_frame_ms": dispatch_dt * 1e3,
+        })
+    return out
 
 
 def bench_backward():
     """Backward pass: one jitted value_and_grad step w.r.t. material params
-    on the CornellBox (the inverse-rendering hot loop). Rays/s uses the
-    dense integrator's in-run forward ray tally (the backward re-traverses
-    the same wavefront)."""
+    on the CornellBox (the inverse-rendering hot loop)."""
     import jax
     import jax.numpy as jnp
     from bifrost3d_tpu.apps.scenes import create_cornell_box
@@ -101,31 +198,38 @@ def bench_backward():
     rays = float(rays)
     target = render_sample(scene, cam, W, H, jnp.uint32(0), settings)
 
+    STEPS = 5
+
     @jax.jit
-    def step(tint, n):
-        def loss_fn(tint):
+    def steps(tint):
+        def loss_fn(tint, n):
             mats = scene.materials._replace(tint=tint)
             img = render_sample(scene._replace(materials=mats), cam,
                                 W, H, n, settings)
             return jnp.mean(jnp.square(img - target))
-        return jax.value_and_grad(loss_fn)(scene.materials.tint)
+        acc = jnp.float32(0)
+        g_sum = jnp.float32(0)
+        for n in range(1, STEPS + 1):
+            v, g = jax.value_and_grad(loss_fn)(tint, jnp.uint32(n))
+            acc = acc + v
+            g_sum = g_sum + g.sum()
+        return acc + g_sum
 
-    jax.block_until_ready(step(scene.materials.tint, jnp.uint32(1)))
-    reps = 5
-    t0 = time.perf_counter()
-    out = None
-    for n in range(1, reps + 1):
-        out = step(scene.materials.tint, jnp.uint32(n))
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
-    return {"train_step_ms": dt * 1e3,
+    float(steps(scene.materials.tint))
+
+    def once():
+        t0 = time.perf_counter()
+        float(steps(scene.materials.tint))
+        return (time.perf_counter() - t0) / STEPS
+
+    dt, spread = _measure(once)
+    return {"train_step_ms": dt * 1e3, "train_step_spread": spread,
             "fwd_bwd_rays_per_sec": rays / dt}
 
 
 def bench_smallpt():
     """Secondary: SmallPT spheres, rays/path MEASURED from the live mask
-    (round-1 methodology — BENCH_r01's 27.1M and this number are directly
-    comparable; BENCH_r02's 14.4M hardcoded 3.45 rays/path)."""
+    (round-1 methodology — directly comparable to BENCH_r01's 27.1M)."""
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -167,24 +271,25 @@ def bench_smallpt():
     rays_per_path = float(live_ray_count(scene, 128, 96))
 
     S.render_smallpt_accumulation(scene, W, H, 1).block_until_ready()
-    t0 = time.perf_counter()
-    buf = None
-    for n in range(2, 2 + REPS):
-        frame = S.render_smallpt_accumulation(scene, W, H, n)
-        buf = frame if buf is None else buf + frame
-    buf.block_until_ready()
-    elapsed = time.perf_counter() - t0
-    return {"rays_per_sec": W * H * REPS * rays_per_path / elapsed,
+
+    def once():
+        t0 = time.perf_counter()
+        buf = None
+        for n in range(2, 2 + REPS):
+            frame = S.render_smallpt_accumulation(scene, W, H, n)
+            buf = frame if buf is None else buf + frame
+        float(buf.sum())
+        return (time.perf_counter() - t0) / REPS
+
+    dt, spread = _measure(once)
+    return {"rays_per_sec": W * H * rays_per_path / dt,
             "rays_per_path": rays_per_path,
-            "frame_ms": elapsed / REPS * 1e3}
+            "frame_ms": dt * 1e3, "spread": spread}
 
 
 def bench_torus_grid():
-    """589,824-triangle torus grid, 65k coherent camera rays.
-
-    Product path = the hierarchical block-BVH Pallas kernel
-    (geometry/pallas_bvh.py); the linear cluster-cull kernel is measured in
-    the same run as ``linear_ms`` so the hierarchical win stays anchored."""
+    """589,824-triangle torus grid, 65k coherent camera rays through the
+    hierarchical block-BVH Pallas kernel vs the linear cluster-cull scan."""
     import jax
     import jax.numpy as jnp
     from bifrost3d_tpu.geometry import make_torus
@@ -216,28 +321,32 @@ def bench_torus_grid():
     d = jnp.asarray(d)
 
     def timed(f):
-        # Force a scalar fetch: block_until_ready does not reliably block
-        # through the axon tunnel (BASELINE.md, measurement methodology).
         float(f(o, d).t.sum())
-        t0 = time.perf_counter()
-        h = None
-        for _ in range(REPS):
-            h = f(o, d)
-        float(h.t.sum())
-        return (time.perf_counter() - t0) / REPS, h
+
+        def once():
+            t0 = time.perf_counter()
+            h = None
+            for _ in range(REPS):
+                h = f(o, d)
+            float(h.t.sum())
+            return (time.perf_counter() - t0) / REPS
+
+        dt, spread = _measure(once)
+        return dt, spread, f(o, d)
 
     ph = jax.device_put(pack_hierarchical(tris))
     hier = jax.jit(lambda o, d: hierarchical_intersect(ph, o, d, 1e-4,
                                                        jnp.inf))
-    dt, h_hier = timed(hier)
+    dt, spread, h_hier = timed(hier)
 
     pc = jax.device_put(pack_clustered(tris))
     clu = jax.jit(lambda o, d: clustered_intersect(pc, o, d, 1e-4, jnp.inf))
-    dt_lin, h_lin = timed(clu)
+    dt_lin, _, h_lin = timed(clu)
     assert bool(jnp.all(h_hier.prim == h_lin.prim)), "kernel hit mismatch"
 
     return {"tris": int(tris.shape[0]),
             "rays_per_sec": d.shape[0] / dt, "trace_ms": dt * 1e3,
+            "spread": spread,
             "linear_ms": dt_lin * 1e3, "vs_linear": dt_lin / dt}
 
 
@@ -256,16 +365,22 @@ def bench_material_scene():
     f = jax.jit(lambda n: render_sample_pooled_counted(
         scene, cam, W, H, n, settings, pool_size=65536))
     jax.block_until_ready(f(jnp.uint32(0)))
-    reps = 3
-    t0 = time.perf_counter()
-    out = None
-    for n in range(1, reps + 1):
-        out = f(jnp.uint32(n))
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
-    rays = float(out[1])
+    state = {}
+
+    def once():
+        reps = 2
+        t0 = time.perf_counter()
+        out = None
+        for n in range(1, reps + 1):
+            out = f(jnp.uint32(n))
+        float(out[0].sum())
+        state["rays"] = float(out[1])
+        return (time.perf_counter() - t0) / reps
+
+    dt, spread = _measure(once)
     return {"tris": int(scene.tri_verts.shape[0]),
-            "rays_per_sec": rays / dt, "frame_ms": dt * 1e3}
+            "rays_per_sec": state["rays"] / dt, "frame_ms": dt * 1e3,
+            "spread": spread}
 
 
 def main():
@@ -273,28 +388,34 @@ def main():
     quick = "--quick" in sys.argv
     cornell = bench_cornell(profile=profile)
     smallpt = bench_smallpt()
+    if "mega_rays_per_sec" in cornell:
+        primary = cornell["mega_rays_per_sec"]
+        vs = cornell["mega_rays_per_sec"] / cornell["pooled_rays_per_sec"]
+        metric = "cornell_megakernel_rays_per_sec"
+    else:
+        primary = cornell["pooled_rays_per_sec"]
+        vs = primary / cornell["dense_rays_per_sec"]
+        metric = "cornell_wavefront_rays_per_sec"
     result = {
-        "metric": "cornell_wavefront_rays_per_sec",
-        "value": round(cornell["pooled_rays_per_sec"]),
+        "metric": metric,
+        "value": round(primary),
         "unit": "rays/s",
-        # Speedup over the round-1 architecture (dense fixed-iteration
-        # wavefront), same rays, same run — see BASELINE.md.
-        "vs_baseline": round(cornell["pooled_rays_per_sec"]
-                             / cornell["dense_rays_per_sec"], 2),
-        "dense_rays_per_sec": round(cornell["dense_rays_per_sec"]),
-        "rays_per_frame": round(cornell["rays_per_frame"]),
-        "frame_ms_512": round(cornell["pooled_ms"], 2),
+        # Speedup of the current product path over the r2/r3 product path
+        # (pooled wavefront), same rays, same run, same folded timing.
+        "vs_baseline": round(vs, 2),
+        "cornell": {k: round(v, 3) if isinstance(v, float) else v
+                    for k, v in cornell.items()},
         "smallpt_rays_per_sec": round(smallpt["rays_per_sec"]),
         "smallpt_rays_per_path": round(smallpt["rays_per_path"], 2),
+        "smallpt_spread": round(smallpt["spread"], 3),
     }
-    result.update({k: round(v, 2) for k, v in bench_backward().items()})
+    result.update({k: round(v, 3) for k, v in bench_backward().items()})
     if not quick:
         result["torus_grid_590k"] = {
-            k: round(v) if k == "tris" or k == "rays_per_sec"
-            else round(v, 2)
+            k: round(v) if k in ("tris", "rays_per_sec") else round(v, 3)
             for k, v in bench_torus_grid().items()}
         result["material_scene_gltf"] = {
-            k: round(v) if k != "frame_ms" else round(v, 2)
+            k: round(v) if k in ("tris", "rays_per_sec") else round(v, 3)
             for k, v in bench_material_scene().items()}
     print(json.dumps(result))
 

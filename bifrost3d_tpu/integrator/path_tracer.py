@@ -805,7 +805,9 @@ def _wavefront_step(scene: RenderScene, settings: RenderSettings,
 def _camera_pixel_angle(camera: PinholeCamera, height: int):
     """Vertical angular size of one pixel: fov_y/height with
     fov_y = 2·atan(1/proj[1,1]) — the footprint driver for trilinear
-    mip selection."""
+    mip selection. For orthographic projections (proj[1,1] = 2/height_w)
+    this degrades to a small constant — acceptable: the mip path is a
+    minification filter and orthographic cameras are preview-only."""
     f = camera.projection[1, 1]
     return 2.0 * jnp.arctan(1.0 / jnp.maximum(f, 1e-6)) / height
 
