@@ -86,3 +86,15 @@ def test_render_sample_fast_dispatch():
     img = render_sample_fast(scene, cam, 16, 16, jnp.uint32(0), settings)
     ref = render_sample_pooled(scene, cam, 16, 16, jnp.uint32(0), settings)
     np.testing.assert_allclose(np.asarray(img), np.asarray(ref))
+
+
+def test_veach_mesh_light_emission_path():
+    """The Veach mesh-light variant exercises surface EMISSION in the
+    kernel (emissive quads replacing sphere lights)."""
+    from bifrost3d_tpu.apps.scenes import create_veach_scene
+    scene, cam = create_veach_scene(with_mesh_light=True)
+    settings = settings_for_scene(scene, max_bounce_count=2)
+    if not mesh_megakernel_eligible(scene, settings):
+        import pytest
+        pytest.skip("mesh-light Veach fell out of megakernel scope")
+    _compare(scene, cam, settings)
