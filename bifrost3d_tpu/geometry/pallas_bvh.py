@@ -46,6 +46,9 @@ from bifrost3d_tpu.geometry.pallas_intersect import _mt_block, _pad_to
 BLOCK_R = 128     # rays per grid step (r4 sweep: 128 beats 256 by 28% on
                   # coherent and 10% on sorted-incoherent traces — finer
                   # blocks cull better; BASELINE.md)
+GROUP_R = 32      # rays per independent traversal sub-group (sublane
+                  # slice of the block; descent decisions at this
+                  # granularity — BASELINE.md r4 sub-group sweep)
 CLUSTER_T = 512   # triangles per cluster (= one DMA block)
 STACK = 64        # block-shared traversal stack (depth-checked at build)
 _BIG = 3.0e38
@@ -146,135 +149,157 @@ def _make_hier_kernel(any_hit: bool):
     def kernel(n_tris_ref, n_live_ref, meta_ref, rays_ref, boxes_ref,
                tris_hbm, t_out, prim_out, u_out, v_out, stack_ref, tri_buf,
                sem):
-        """One grid step = one BLOCK_R ray block; block-shared traversal.
+        """One grid step = one BLOCK_R ray block, walked as
+        BLOCK_R/GROUP_R INDEPENDENT sub-groups on the sublane axis.
 
-        Blocks whose rays lie entirely past the caller's LIVE PREFIX
+        Sub-group traversal (r4): descent decisions at GROUP_R-ray
+        granularity cull far better on low-coherence ray sets than whole-
+        block decisions, without paying more grid/launch overhead — the
+        group slices are static sublane ranges of the same VMEM block, and
+        the groups share the kernel's stack/DMA scratch sequentially.
+
+        Groups whose rays lie entirely past the caller's LIVE PREFIX
         (``n_live`` — the pooled wavefront sorts inactive lanes last)
         write miss outputs and skip traversal entirely, so drained pool
         iterations cost O(live), not O(pool) (BASELINE.md r4).
         """
         n_tris = n_tris_ref[0]
-        block_live = pl.program_id(0) * BLOCK_R < n_live_ref[0]
+        block_start = pl.program_id(0) * BLOCK_R
 
-        o = (rays_ref[0, :][:, None], rays_ref[1, :][:, None],
-             rays_ref[2, :][:, None])
-        d = (rays_ref[3, :][:, None], rays_ref[4, :][:, None],
-             rays_ref[5, :][:, None])
-        t_min = rays_ref[6, :][:, None]
-        t_max = rays_ref[7, :][:, None]
+        o_full = (rays_ref[0, :][:, None], rays_ref[1, :][:, None],
+                  rays_ref[2, :][:, None])
+        d_full = (rays_ref[3, :][:, None], rays_ref[4, :][:, None],
+                  rays_ref[5, :][:, None])
+        t_min_full = rays_ref[6, :][:, None]
+        t_max_full = rays_ref[7, :][:, None]
 
         def safe_inv(x):
             mag = jnp.maximum(jnp.abs(x), 1e-12)
             return jnp.where(x < 0, -1.0, 1.0) / mag
 
-        inv_d = tuple(safe_inv(c) for c in d)
+        inv_d_full = tuple(safe_inv(c) for c in d_full)
 
         # Progressive best state lives in the output refs.
-        t_out[:, 0] = jnp.minimum(t_max, _BIG)[:, 0]
+        t_out[:, 0] = jnp.minimum(t_max_full, _BIG)[:, 0]
         prim_out[:, 0] = jnp.full((BLOCK_R,), -1, jnp.int32)
-        u_out[:, 0] = jnp.zeros((BLOCK_R,), jnp.float32)
+        u_out[:, 0] = jnp.zeros((BLOCK_R, ), jnp.float32)
         v_out[:, 0] = jnp.zeros((BLOCK_R,), jnp.float32)
 
-        def probe(node):
-            """Slab-test node's box against the block.
+        def walk_group(g):
+            lo_r, hi_r = g * GROUP_R, (g + 1) * GROUP_R
+            o = tuple(c[lo_r:hi_r] for c in o_full)
+            d = tuple(c[lo_r:hi_r] for c in d_full)
+            inv_d = tuple(c[lo_r:hi_r] for c in inv_d_full)
+            t_min = t_min_full[lo_r:hi_r]
+            t_max = t_max_full[lo_r:hi_r]
 
-            Returns (any_improving: scalar bool, near_est: scalar f32) —
-            whether ANY ray enters the box closer than its current best,
-            and the block-min entry distance for far-first push ordering.
-            """
-            best_t = t_out[:, :]
+            def probe(node):
+                """Slab-test node's box against the group. Returns
+                (any_improving, group-min entry distance)."""
+                best_t = t_out[lo_r:hi_r, :]
 
-            def axis_near_far(k):
-                lo = boxes_ref[pl.ds(node, 1), pl.ds(k, 1)]       # [1, 1]
-                hi = boxes_ref[pl.ds(node, 1), pl.ds(k + 3, 1)]
-                t0 = (lo - o[k]) * inv_d[k]                       # [R, 1]
-                t1 = (hi - o[k]) * inv_d[k]
-                return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+                def axis_near_far(k):
+                    lo = boxes_ref[pl.ds(node, 1), pl.ds(k, 1)]   # [1, 1]
+                    hi = boxes_ref[pl.ds(node, 1), pl.ds(k + 3, 1)]
+                    t0 = (lo - o[k]) * inv_d[k]                   # [G, 1]
+                    t1 = (hi - o[k]) * inv_d[k]
+                    return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
 
-            n0, f0 = axis_near_far(0)
-            n1, f1 = axis_near_far(1)
-            n2, f2 = axis_near_far(2)
-            near = jnp.maximum(jnp.maximum(n0, n1), jnp.maximum(n2, t_min))
-            far = jnp.minimum(jnp.minimum(f0, f1), f2)
-            hit = (near <= far) & (far > 0.0) & (near < best_t)
-            near_est = jnp.min(jnp.where(hit, near, _BIG))
-            return jnp.any(hit), near_est
+                n0, f0 = axis_near_far(0)
+                n1, f1 = axis_near_far(1)
+                n2, f2 = axis_near_far(2)
+                near = jnp.maximum(jnp.maximum(n0, n1),
+                                   jnp.maximum(n2, t_min))
+                far = jnp.minimum(jnp.minimum(f0, f1), f2)
+                hit = (near <= far) & (far > 0.0) & (near < best_t)
+                near_est = jnp.min(jnp.where(hit, near, _BIG))
+                return jnp.any(hit), near_est
 
-        def leaf_test(cluster):
-            """DMA one cluster's triangles and fold into the running best."""
-            dma = pltpu.make_async_copy(
-                tris_hbm.at[:, pl.ds(cluster * CLUSTER_T, CLUSTER_T)],
-                tri_buf, sem)
-            dma.start()
-            dma.wait()
-            tri = tri_buf[...]
-            t, u, v, valid = _mt_block(o, d, tri, t_min)
-            best = t_out[:, :]
-            tri_ids = (cluster * CLUSTER_T
-                       + jax.lax.broadcasted_iota(jnp.int32, t.shape, 1))
-            valid = valid & (tri_ids < n_tris) & (t < best) & (t < t_max)
-            t = jnp.where(valid, t, _BIG)
-            row_best = jnp.min(t, axis=1, keepdims=True)
-            closer = row_best < best
-            is_min = (t == row_best) & valid
-            col = jnp.min(jnp.where(is_min, tri_ids, jnp.int32(0x7FFFFFFF)),
-                          axis=1, keepdims=True)
-            pick_u = jnp.max(jnp.where(is_min & (tri_ids == col), u, -_BIG),
-                             axis=1, keepdims=True)
-            pick_v = jnp.max(jnp.where(is_min & (tri_ids == col), v, -_BIG),
-                             axis=1, keepdims=True)
-            t_out[:, :] = jnp.where(closer, row_best, best)
-            prim_out[:, :] = jnp.where(closer, col, prim_out[:, :])
-            u_out[:, :] = jnp.where(closer, pick_u, u_out[:, :])
-            v_out[:, :] = jnp.where(closer, pick_v, v_out[:, :])
-            if any_hit:
-                # Occlusion query: freeze hit lanes (near ≥ t_min = their
-                # new best ⇒ every further box test fails for them).
-                t_out[:, :] = jnp.where(prim_out[:, :] >= 0,
-                                        t_min, t_out[:, :])
+            def leaf_test(cluster):
+                """DMA one cluster's triangles, fold into the running best."""
+                dma = pltpu.make_async_copy(
+                    tris_hbm.at[:, pl.ds(cluster * CLUSTER_T, CLUSTER_T)],
+                    tri_buf, sem)
+                dma.start()
+                dma.wait()
+                tri = tri_buf[...]
+                t, u, v, valid = _mt_block(o, d, tri, t_min)
+                best = t_out[lo_r:hi_r, :]
+                tri_ids = (cluster * CLUSTER_T
+                           + jax.lax.broadcasted_iota(jnp.int32, t.shape, 1))
+                valid = valid & (tri_ids < n_tris) & (t < best) & (t < t_max)
+                t = jnp.where(valid, t, _BIG)
+                row_best = jnp.min(t, axis=1, keepdims=True)
+                closer = row_best < best
+                is_min = (t == row_best) & valid
+                col = jnp.min(jnp.where(is_min, tri_ids,
+                                        jnp.int32(0x7FFFFFFF)),
+                              axis=1, keepdims=True)
+                pick_u = jnp.max(jnp.where(is_min & (tri_ids == col), u,
+                                           -_BIG), axis=1, keepdims=True)
+                pick_v = jnp.max(jnp.where(is_min & (tri_ids == col), v,
+                                           -_BIG), axis=1, keepdims=True)
+                t_out[lo_r:hi_r, :] = jnp.where(closer, row_best, best)
+                prim_out[lo_r:hi_r, :] = jnp.where(
+                    closer, col, prim_out[lo_r:hi_r, :])
+                u_out[lo_r:hi_r, :] = jnp.where(closer, pick_u,
+                                                u_out[lo_r:hi_r, :])
+                v_out[lo_r:hi_r, :] = jnp.where(closer, pick_v,
+                                                v_out[lo_r:hi_r, :])
+                if any_hit:
+                    # Occlusion query: freeze hit lanes (near ≥ t_min =
+                    # their new best ⇒ further box tests fail for them).
+                    t_out[lo_r:hi_r, :] = jnp.where(
+                        prim_out[lo_r:hi_r, :] >= 0, t_min,
+                        t_out[lo_r:hi_r, :])
 
-        stack_ref[0] = jnp.int32(0)  # root pre-pushed
+            def cond(sp):
+                return sp > 0
 
-        def cond(sp):
-            return sp > 0
+            def body(sp):
+                node = stack_ref[sp - 1]
+                sp = sp - 1
+                meta = meta_ref[node]
+                is_leaf = meta < 0
 
-        def body(sp):
-            node = stack_ref[sp - 1]
-            sp = sp - 1
-            meta = meta_ref[node]
-            is_leaf = meta < 0
-
-            @pl.when(is_leaf)
-            def _():
-                improving, _ = probe(node)
-
-                @pl.when(improving)
+                @pl.when(is_leaf)
                 def _():
-                    leaf_test(-meta - 1)
+                    improving, _ = probe(node)
 
-            # Internal: probe both children, push improving ones far-first.
-            left = node + 1
-            right = meta
-            any_l, near_l = probe(left)
-            any_r, near_r = probe(jnp.maximum(right, 0))
-            push_l = jnp.logical_and(jnp.logical_not(is_leaf), any_l)
-            push_r = jnp.logical_and(jnp.logical_not(is_leaf), any_r)
-            swap = near_l > near_r           # far child pushed first
-            first = jnp.where(swap, right, left)
-            second = jnp.where(swap, left, right)
-            push_first = jnp.where(swap, push_r, push_l)
-            push_second = jnp.where(swap, push_l, push_r)
-            stack_ref[sp] = second
-            sp = sp + jnp.where(push_second, 1, 0)
-            stack_ref[sp] = first
-            sp = sp + jnp.where(push_first, 1, 0)
-            if any_hit:
-                sp = jnp.where(jnp.all(prim_out[:, :] >= 0), 0, sp)
-            return sp
+                    @pl.when(improving)
+                    def _():
+                        leaf_test(-meta - 1)
 
-        @pl.when(block_live)
-        def _():
-            jax.lax.while_loop(cond, body, jnp.int32(1))
+                # Internal: probe both children, push improving far-first.
+                left = node + 1
+                right = meta
+                any_l, near_l = probe(left)
+                any_r, near_r = probe(jnp.maximum(right, 0))
+                push_l = jnp.logical_and(jnp.logical_not(is_leaf), any_l)
+                push_r = jnp.logical_and(jnp.logical_not(is_leaf), any_r)
+                swap = near_l > near_r       # far child pushed first
+                first = jnp.where(swap, right, left)
+                second = jnp.where(swap, left, right)
+                push_first = jnp.where(swap, push_r, push_l)
+                push_second = jnp.where(swap, push_l, push_r)
+                stack_ref[sp] = second
+                sp = sp + jnp.where(push_second, 1, 0)
+                stack_ref[sp] = first
+                sp = sp + jnp.where(push_first, 1, 0)
+                if any_hit:
+                    sp = jnp.where(
+                        jnp.all(prim_out[lo_r:hi_r, :] >= 0), 0, sp)
+                return sp
+
+            group_live = block_start + g * GROUP_R < n_live_ref[0]
+
+            @pl.when(group_live)
+            def _():
+                stack_ref[0] = jnp.int32(0)  # root pre-pushed
+                jax.lax.while_loop(cond, body, jnp.int32(1))
+
+        for g in range(BLOCK_R // GROUP_R):
+            walk_group(g)
 
     return kernel
 

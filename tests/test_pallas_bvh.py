@@ -150,15 +150,17 @@ class TestLivePrefix:
         o, d = _rays(4 * BLOCK_R, seed=7)
         full = hierarchical_intersect(packed, jnp.asarray(o), jnp.asarray(d),
                                       1e-4, jnp.inf, interpret=True)
-        live = jnp.int32(BLOCK_R + 3)  # prefix ends inside block 1
+        from bifrost3d_tpu.geometry.pallas_bvh import GROUP_R
+        live = jnp.int32(BLOCK_R + 3)  # prefix ends inside block 1, group 0
         part = hierarchical_intersect(packed, jnp.asarray(o), jnp.asarray(d),
                                       1e-4, jnp.inf, interpret=True,
                                       live_count=live)
-        # Blocks 0 and 1 (covering the prefix) match the full trace...
-        np.testing.assert_array_equal(np.asarray(part.prim[:2 * BLOCK_R]),
-                                      np.asarray(full.prim[:2 * BLOCK_R]))
-        # ...blocks past the prefix report misses without work.
-        assert np.all(np.asarray(part.prim[2 * BLOCK_R:]) == -1)
+        # Groups covering the prefix match the full trace...
+        covered = BLOCK_R + GROUP_R
+        np.testing.assert_array_equal(np.asarray(part.prim[:covered]),
+                                      np.asarray(full.prim[:covered]))
+        # ...groups past the prefix report misses without work.
+        assert np.all(np.asarray(part.prim[covered:]) == -1)
 
     def test_dense_kernel_live_prefix(self):
         from bifrost3d_tpu.geometry.pallas_intersect import (
