@@ -135,6 +135,12 @@ def intersect_scene(bvh: BVH, triangles, origin, direction,
     if (tri_clustered is not None and on_tpu and origin.shape[0] >= 256):
         from bifrost3d_tpu.geometry.pallas_bvh import (
             HierTriangles, hierarchical_intersect)
+        from bifrost3d_tpu.geometry.pallas_bvh_vmem import (
+            VmemTriangles, vmem_intersect)
+        if isinstance(tri_clustered, VmemTriangles):
+            return vmem_intersect(tri_clustered, origin, direction,
+                                  t_min, t_max, any_hit=any_hit,
+                                  live_count=live_count)
         if isinstance(tri_clustered, HierTriangles):
             return hierarchical_intersect(tri_clustered, origin, direction,
                                           t_min, t_max, any_hit=any_hit,

@@ -220,6 +220,10 @@ def _packed_components(tri_verts) -> jnp.ndarray:
 
 
 def _packed_clusters(tri_verts, bvh):
+    # The DMA-streaming hierarchical kernel wins at every scale measured;
+    # a VMEM-resident variant (pallas_bvh_vmem.py) was measured SLOWER on
+    # the glTF MaterialScene (see BASELINE.md negative results) and is not
+    # dispatched by default.
     from bifrost3d_tpu.geometry.pallas_bvh import pack_hierarchical
     from bifrost3d_tpu.geometry.traverse import PALLAS_MAX_TRIS
     if tri_verts.shape[0] <= PALLAS_MAX_TRIS:

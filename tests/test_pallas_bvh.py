@@ -176,3 +176,42 @@ class TestLivePrefix:
         np.testing.assert_array_equal(np.asarray(part.prim[:DENSE_BLOCK]),
                                       np.asarray(full.prim[:DENSE_BLOCK]))
         assert np.all(np.asarray(part.prim[DENSE_BLOCK:]) == -1)
+
+
+class TestVmemIntersect:
+    """VMEM-resident traversal variant (pallas_bvh_vmem.py)."""
+
+    @pytest.fixture(scope="class")
+    def scene(self):
+        tri = _soup(1200)
+        from bifrost3d_tpu.geometry.pallas_bvh_vmem import pack_vmem
+        return jnp.asarray(tri), pack_vmem(tri)
+
+    def test_nearest_matches_brute(self, scene):
+        from bifrost3d_tpu.geometry.pallas_bvh_vmem import vmem_intersect
+        tri, packed = scene
+        o, d = _rays(600)
+        ref = intersect_triangles_brute(tri, o, d, 1e-4, jnp.inf)
+        got = vmem_intersect(packed, o, d, 1e-4, jnp.inf, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref.prim),
+                                      np.asarray(got.prim))
+        m = np.asarray(ref.prim) >= 0
+        np.testing.assert_allclose(np.asarray(ref.t)[m],
+                                   np.asarray(got.t)[m], rtol=1e-5,
+                                   atol=1e-6)
+
+    def test_any_hit_and_live_prefix(self, scene):
+        from bifrost3d_tpu.geometry.pallas_bvh_vmem import (
+            BLOCK_R, vmem_intersect)
+        tri, packed = scene
+        o, d = _rays(4 * BLOCK_R, seed=3)
+        ref = intersect_triangles_brute(tri, o, d, 1e-4, jnp.inf)
+        occ = vmem_intersect(packed, o, d, 1e-4, jnp.inf, any_hit=True,
+                             interpret=True)
+        np.testing.assert_array_equal(np.asarray(occ.prim >= 0),
+                                      np.asarray(ref.prim >= 0))
+        part = vmem_intersect(packed, o, d, 1e-4, jnp.inf, interpret=True,
+                              live_count=jnp.int32(BLOCK_R))
+        np.testing.assert_array_equal(np.asarray(part.prim[:BLOCK_R]),
+                                      np.asarray(ref.prim[:BLOCK_R]))
+        assert np.all(np.asarray(part.prim[BLOCK_R:]) == -1)
