@@ -65,13 +65,71 @@ class HierTriangles(NamedTuple):
     n_tris: jnp.ndarray          # [] int32
 
 
-def pack_hierarchical(tri_verts, bvh=None) -> HierTriangles:
+# Cluster partition strategy: False = slice the SAH depth-first leaf order
+# every CLUSTER_T triangles (full clusters, arbitrary cut points); True =
+# cut the triangle BVH at maximal ≤CLUSTER_T subtrees (exact subtree
+# AABBs, partially filled slots padded with degenerate triangles that
+# Möller-Trumbore rejects via det = 0). Default True: despite ~0.6-0.75
+# slot fill (wasted dense tests inside touched leaves), the tighter
+# cluster boxes cut touched-leaf counts enough to win everywhere measured
+# (r4: torus coherent 25.95 → 19.1 ms, sorted-incoherent 120.5 → 99.1 ms,
+# glTF MaterialScene frame 591 → 540 ms; BASELINE.md).
+TREELET_CUT = True
+
+
+def _treelet_cut(bvh, max_size):
+    """Cut the flattened DFS BVH at maximal subtrees of ≤ max_size prims.
+
+    Returns (ranges [(start, count)], lo [k, 3], hi [k, 3]) in left-first
+    DFS order — subtree prim ranges are contiguous because leaves are laid
+    out depth-first.
+    """
+    a = np.asarray(bvh.node_a)
+    cnt = np.asarray(bvh.node_count)
+    nmin = np.asarray(bvh.node_min, np.float32)
+    nmax = np.asarray(bvh.node_max, np.float32)
+    n = len(a)
+    start = np.zeros(n, np.int64)
+    total = np.zeros(n, np.int64)
+    stack = [(0, False)]
+    while stack:
+        node, processed = stack.pop()
+        if cnt[node] > 0:
+            start[node] = a[node]
+            total[node] = cnt[node]
+        elif processed:
+            left, right = node + 1, a[node]
+            start[node] = min(start[left], start[right])
+            total[node] = total[left] + total[right]
+        else:
+            stack.append((node, True))
+            stack.append((node + 1, False))
+            stack.append((int(a[node]), False))
+    ranges, lo, hi = [], [], []
+    stack = [0]
+    while stack:
+        node = stack.pop()
+        if total[node] <= max_size:
+            ranges.append((int(start[node]), int(total[node])))
+            lo.append(nmin[node])
+            hi.append(nmax[node])
+        else:
+            stack.append(int(a[node]))   # right pushed first →
+            stack.append(node + 1)       # left pops first (DFS order)
+    return ranges, np.asarray(lo), np.asarray(hi)
+
+
+def pack_hierarchical(tri_verts, bvh=None, cut=None) -> HierTriangles:
     """[t, 3, 3] world-space triangles → cluster-BVH packing.
 
     Triangle order comes from the triangle SAH BVH's depth-first leaf order
     (``bvh.prim_indices``) so consecutive CLUSTER_T-sized groups are
     spatially tight; a second binned-SAH build over the cluster AABBs
     (leaf = 1 cluster) gives the top-level tree the kernel traverses.
+
+    ``cut`` (default: module TREELET_CUT) switches the cluster partition
+    to maximal ≤CLUSTER_T BVH subtrees — tighter cluster boxes at the
+    price of partially filled (degenerate-padded) DMA blocks.
     """
     from bifrost3d_tpu.geometry.bvh import build_bvh, build_bvh_boxes
 
@@ -83,24 +141,49 @@ def pack_hierarchical(tri_verts, bvh=None) -> HierTriangles:
         bvh = build_bvh(flat, idx)
     order = np.asarray(bvh.prim_indices, np.int32)
     assert order.shape[0] == t, (order.shape, t)
-    sorted_tv = tv[order]
+    if cut is None:
+        cut = TREELET_CUT
 
-    t_pad = ((t + CLUSTER_T - 1) // CLUSTER_T) * CLUSTER_T
-    n_clusters = t_pad // CLUSTER_T
+    if cut and t > CLUSTER_T:
+        ranges, c_lo, c_hi = _treelet_cut(bvh, CLUSTER_T)
+        n_clusters = len(ranges)
+        t_pad = n_clusters * CLUSTER_T
+        slot_order = np.zeros(t_pad, np.int32)
+        slot_valid = np.zeros(t_pad, bool)
+        for i, (s, c) in enumerate(ranges):
+            slot_order[i * CLUSTER_T:i * CLUSTER_T + c] = order[s:s + c]
+            slot_valid[i * CLUSTER_T:i * CLUSTER_T + c] = True
+        order = slot_order
+        sorted_tv = np.zeros((t_pad, 3, 3), np.float32)
+        sorted_tv[slot_valid] = tv[order[slot_valid]]
+        # Padded slots stay all-zero: e1 = e2 = 0 ⇒ det = 0 ⇒ the kernel's
+        # Möller-Trumbore marks them invalid; the id-range filter must
+        # therefore admit every slot (n_tris = t_pad below).
+        n_valid = t_pad
+    else:
+        cut = False
+        sorted_tv = tv[order]
+        t_pad = ((t + CLUSTER_T - 1) // CLUSTER_T) * CLUSTER_T
+        n_clusters = t_pad // CLUSTER_T
+        n_valid = t
 
     v0 = sorted_tv[:, 0]
     e1 = sorted_tv[:, 1] - sorted_tv[:, 0]
     e2 = sorted_tv[:, 2] - sorted_tv[:, 0]
-    comp = np.concatenate([v0.T, e1.T, e2.T], axis=0)  # [9, t]
-    comp = np.pad(comp, ((0, 16 - comp.shape[0]), (0, t_pad - t)))
+    comp = np.concatenate([v0.T, e1.T, e2.T], axis=0)  # [9, *]
+    comp = np.pad(comp, ((0, 16 - comp.shape[0]),
+                         (0, t_pad - comp.shape[1])))
 
-    # Cluster AABBs (bottom level), then the SAH tree over them (top level).
-    pts = np.pad(sorted_tv.reshape(-1, 3),
-                 ((0, (t_pad - t) * 3), (0, 0)),
-                 mode="edge" if t else "constant")
-    pts = pts.reshape(n_clusters, CLUSTER_T * 3, 3)
-    c_lo = pts.min(axis=1)
-    c_hi = pts.max(axis=1)
+    if cut and t > CLUSTER_T:
+        pass  # exact subtree AABBs already in c_lo/c_hi
+    else:
+        # Cluster AABBs (bottom level) recomputed from the slices.
+        pts = np.pad(sorted_tv.reshape(-1, 3),
+                     ((0, (t_pad - sorted_tv.shape[0]) * 3), (0, 0)),
+                     mode="edge" if t else "constant")
+        pts = pts.reshape(n_clusters, CLUSTER_T * 3, 3)
+        c_lo = pts.min(axis=1)
+        c_hi = pts.max(axis=1)
     cbvh = build_bvh_boxes(c_lo, c_hi, max_leaf=1)
 
     node_min = np.asarray(cbvh.node_min, np.float32)
@@ -135,13 +218,14 @@ def pack_hierarchical(tri_verts, bvh=None) -> HierTriangles:
                               -(cluster_order[node_a * is_leaf] + 1),
                               node_a)
 
-    order_pad = np.pad(order, (0, t_pad - t), constant_values=0)
+    order_pad = np.pad(order, (0, t_pad - order.shape[0]),
+                       constant_values=0)
     return HierTriangles(
         tri_components=jnp.asarray(comp),
         node_boxes=jnp.asarray(boxes),
         node_meta=jnp.asarray(meta),
         order=jnp.asarray(order_pad),
-        n_tris=jnp.asarray(t, jnp.int32),
+        n_tris=jnp.asarray(n_valid, jnp.int32),
     )
 
 

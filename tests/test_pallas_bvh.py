@@ -215,3 +215,43 @@ class TestVmemIntersect:
         np.testing.assert_array_equal(np.asarray(part.prim[:BLOCK_R]),
                                       np.asarray(ref.prim[:BLOCK_R]))
         assert np.all(np.asarray(part.prim[BLOCK_R:]) == -1)
+
+
+class TestTreeletCut:
+    """pack_hierarchical(cut=True): clusters are maximal ≤CLUSTER_T BVH
+    subtrees (exact subtree boxes, degenerate-padded slots)."""
+
+    def test_cut_matches_brute(self):
+        tri = _soup(1700, seed=11)
+        packed = pack_hierarchical(tri, cut=True)
+        o, d = _rays(512, seed=12)
+        hit = hierarchical_intersect(packed, o, d, 1e-4, jnp.inf,
+                                     interpret=True)
+        ref = intersect_triangles_brute(jnp.asarray(tri), o, d, 1e-4,
+                                        jnp.inf)
+        np.testing.assert_array_equal(np.asarray(hit.prim),
+                                      np.asarray(ref.prim))
+        np.testing.assert_allclose(np.asarray(hit.t), np.asarray(ref.t),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_cut_covers_all_triangles_once(self):
+        tri = _soup(2300, seed=13)
+        packed = pack_hierarchical(tri, cut=True)
+        order = np.asarray(packed.order)
+        comp = np.asarray(packed.tri_components)
+        # Non-degenerate slots (any nonzero edge component) carry each
+        # original triangle exactly once.
+        live = (np.abs(comp[3:9]).sum(axis=0) > 0)[:order.shape[0]]
+        ids = np.sort(order[live])
+        np.testing.assert_array_equal(ids, np.arange(2300))
+
+    def test_cut_any_hit(self):
+        tri = _soup(1700, seed=11)
+        packed = pack_hierarchical(tri, cut=True)
+        o, d = _rays(512, seed=14)
+        occ = hierarchical_intersect(packed, o, d, 1e-4, jnp.inf,
+                                     any_hit=True, interpret=True)
+        ref = intersect_triangles_brute(jnp.asarray(tri), o, d, 1e-4,
+                                        jnp.inf)
+        np.testing.assert_array_equal(np.asarray(occ.prim >= 0),
+                                      np.asarray(ref.prim >= 0))
