@@ -141,11 +141,13 @@ class Compositor:
         """Wire into the engine tick: render as non-mutating work, change-
         notification reset as tick cleanup (SimpleViewer main.cpp:298-308,
         Compositor render callback main.cpp:452)."""
-        def _render(engine=None, *_):
-            if engine is not None and hasattr(engine, "time"):
-                dt = getattr(engine.time, "delta", None)
-                if dt:
-                    self._delta_time = float(dt)
+        # Fetch frame delta from the engine captured here rather than the
+        # callback argument, so eye adaptation tracks real frame time no
+        # matter how the tick invokes its callbacks (r4 advisor finding).
+        def _render(*_):
+            dt = getattr(engine.time, "delta", 0.0)
+            if dt:
+                self._delta_time = float(dt)
             self.render()
 
         engine.add_non_mutating_callback(_render)

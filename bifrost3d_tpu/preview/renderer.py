@@ -19,6 +19,7 @@ from bifrost3d_tpu.bsdf.fresnel import schlick_fresnel
 from bifrost3d_tpu.geometry.traverse import intersect_scene, intersect_scene_any
 from bifrost3d_tpu.lights.types import LIGHT_DIRECTIONAL, LIGHT_SPHERE, LIGHT_SPOT
 from bifrost3d_tpu.math.quaternion import quat_conjugate, quat_rotate
+from bifrost3d_tpu.math.ray_offset import offset_ray_origin
 from bifrost3d_tpu.math.vec import dot, normalize, reflect
 from bifrost3d_tpu.sampling.distributions import INV_PI
 from bifrost3d_tpu.scene.camera import PinholeCamera, camera_rays
@@ -37,25 +38,30 @@ def _light_contribution(scene, position, normal, wo, tint, roughness,
         to_light = lights.position[li] - position
         d2 = jnp.sum(jnp.square(to_light), axis=-1)
         dist_pt = jnp.sqrt(d2)
-        dir_pt = to_light / jnp.maximum(dist_pt, 1e-6)[..., None]
+        # Distance floors are ~f32-denormal-scale, NOT absolute 1e-6: an
+        # absolute floor silently clamps real distances in mm-scale scenes
+        # and crushes the inverse-square falloff (found by the 1e-3×
+        # scaled-room stress test, VERDICT r4 #9).
+        dir_pt = to_light / jnp.maximum(dist_pt, 1e-18)[..., None]
         # Sphere as a point source with its total power (preview fidelity);
         # spot concentrates its power into the cone with a hard cutoff
         # (LightSources.hlsl:28-155 cone falloff); directional carries
         # radiance directly.
-        rad_pt = lights.power[li] / (4.0 * jnp.pi * jnp.maximum(d2, 1e-6))[..., None]
+        rad_pt = lights.power[li] / (4.0 * jnp.pi * jnp.maximum(d2, 1e-30))[..., None]
         cos_to_axis = dot(lights.direction[li], -dir_pt)
         spot_norm = 2.0 * jnp.pi * jnp.maximum(1.0 - lights.cos_angle[li], 1e-6)
         rad_spot = jnp.where(
             (cos_to_axis > lights.cos_angle[li])[..., None],
-            lights.power[li] / (spot_norm * jnp.maximum(d2, 1e-6))[..., None],
+            lights.power[li] / (spot_norm * jnp.maximum(d2, 1e-30))[..., None],
             0.0)
         l_dir = jnp.where(is_directional, -lights.direction[li], dir_pt)
         radiance = jnp.where(is_directional, lights.power[li],
                              jnp.where(is_spot, rad_spot, rad_pt))
         dist = jnp.where(is_directional, 1e30, dist_pt)
         n_dot_l = jnp.maximum(dot(normal, l_dir), 0.0)
-        # Hard shadow ray.
-        shadow_origin = position + normal * scene.scene_epsilon[None] * 16.0
+        # Hard shadow ray — RT-Gems integer-ULP offset (math/ray_offset.py),
+        # the same scale-robust origin the path tracer uses (VERDICT r4 #9).
+        shadow_origin = offset_ray_origin(position, normal)
         occluded = intersect_scene_any(
             scene.bvh, scene.tri_verts, shadow_origin, l_dir,
             t_min=scene.scene_epsilon,

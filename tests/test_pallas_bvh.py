@@ -55,12 +55,20 @@ class TestPackHierarchical:
         tri = _soup(1200)
         packed = pack_hierarchical(tri)
         meta = np.asarray(packed.node_meta)
-        n_clusters = -(-1200 // CLUSTER_T)
         leaves = meta[meta < 0]
-        # Every cluster appears exactly once as a leaf.
+        # Treelet-cut packing may emit partially-filled clusters, so the
+        # cluster count is >= ceil(t / CLUSTER_T); every cluster id in
+        # [0, K) must still appear exactly once as a leaf.
+        n_clusters = len(leaves)
+        assert n_clusters >= -(-1200 // CLUSTER_T)
         assert sorted(-leaves - 1) == list(range(n_clusters))
-        # order is a permutation of triangle ids (plus padding zeros).
-        order = np.asarray(packed.order)[:1200]
+        # Valid slots (non-degenerate packed triangles — padding slots have
+        # e1 = e2 = 0) hold each triangle id exactly once; treelet-cut
+        # packing interleaves padded slots inside clusters, so the
+        # permutation check must mask them rather than truncate.
+        comp = np.asarray(packed.tri_components)
+        valid = np.any(comp[3:9] != 0.0, axis=0)
+        order = np.asarray(packed.order)[valid]
         assert sorted(order) == list(range(1200))
 
     def test_single_cluster_scene(self):

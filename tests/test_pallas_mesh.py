@@ -94,7 +94,9 @@ def test_veach_mesh_light_emission_path():
     from bifrost3d_tpu.apps.scenes import create_veach_scene
     scene, cam = create_veach_scene(with_mesh_light=True)
     settings = settings_for_scene(scene, max_bounce_count=2)
-    if not mesh_megakernel_eligible(scene, settings):
-        import pytest
-        pytest.skip("mesh-light Veach fell out of megakernel scope")
+    # Hard gate, not a skip: if the mesh-light Veach scene ever falls out
+    # of megakernel scope this parity test must FAIL, otherwise a scope
+    # regression silently converts the gate into a no-op (VERDICT r4 #5).
+    assert mesh_megakernel_eligible(scene, settings), (
+        "mesh-light Veach scene fell out of megakernel scope")
     _compare(scene, cam, settings)
