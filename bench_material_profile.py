@@ -79,7 +79,10 @@ def build_state(k_steps=2, pool=65536, W=512, H=512):
     scene, cam = create_material_scene()
     settings = PT.settings_for_scene(scene, max_bounce_count=4)
     accumulation = jnp.uint32(1)
-    pixel_idx = jnp.arange(pool, dtype=jnp.int32)
+    # STRIDED pixels: the first 65536 flat pixels are all sky (the image's
+    # top quarter) and die in one step; a stride-4 sample covers the whole
+    # frame so the captured live fraction matches mid-frame reality.
+    pixel_idx = jnp.arange(pool, dtype=jnp.int32) * (W * H // pool)
     pixel_end = jnp.int32(W * H)
 
     @jax.jit
@@ -303,11 +306,38 @@ def main():
         return c + jnp.sum(accum) * 1e-20
     stages["full_body"] = fold(s_body)
 
+    # -- ablated full steps: attribute the fixed cost the isolations miss --
+    def step_with(settings_over, scene_over=None):
+        sc = scene_over if scene_over is not None else scene
+        def s(i, c):
+            st = state._replace(origin=state.origin + c * 1e-20)
+            out = PT._wavefront_step(sc, settings_over, accumulation + i, st,
+                                     pixel_angle=pixel_angle,
+                                     live_count=live)
+            return c + jnp.sum(out.radiance) * 1e-20
+        return fold(s)
+
+    stages["step_nee_off"] = step_with(
+        settings._replace(next_event_sample_count=0))
+    stages["step_nee1"] = step_with(
+        settings._replace(next_event_sample_count=1))
+    # Texture-free scene variant: all texture bindings cleared.
+    mats_plain = scene.materials._replace(
+        tint_roughness_texture=jnp.full_like(
+            scene.materials.tint_roughness_texture, -1),
+        metallic_texture=jnp.full_like(scene.materials.metallic_texture, -1),
+        coverage_texture=jnp.full_like(scene.materials.coverage_texture, -1))
+    scene_notex = scene._replace(materials=mats_plain)
+    stages["step_no_textures"] = step_with(
+        settings._replace(trilinear_textures=False), scene_notex)
+    stages["step_bilinear"] = step_with(
+        settings._replace(trilinear_textures=False))
+
     results = {}
     for name, fn in stages.items():
         ms, spread = _bench(fn, floor)
         results[name] = {"ms": ms * 1e3, "spread": round(spread, 3)}
-        print(f"{name:14s} {ms*1e3:8.2f} ms  (spread {spread:.3f})")
+        print(f"{name:16s} {ms*1e3:8.2f} ms  (spread {spread:.3f})")
 
     # Frame context: full render with iteration count.
     f = jax.jit(lambda n: PT.render_pixels_pooled(

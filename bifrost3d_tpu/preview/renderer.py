@@ -84,65 +84,120 @@ def _light_contribution(scene, position, normal, wo, tint, roughness,
     return total
 
 
-@partial(jax.jit, static_argnames=("width", "height", "enable_ssao"))
 def render_preview(scene: RenderScene, camera: PinholeCamera,
                    width: int, height: int, enable_ssao: bool = True,
                    ambient=(0.08, 0.08, 0.08)):
-    """One-pass preview frame → linear HDR [h, w, 3]."""
+    """One preview frame → linear HDR [h, w, 3].
+
+    Scenes with partial-coverage materials get a transparent pass — the
+    ray-based analogue of the reference's back-to-front blended
+    transparent-model pass (DX11Renderer/Renderer.cpp:681-734): up to
+    ``_TRANSPARENT_LAYERS`` front-to-back peels accumulate
+    ``T·α·shade`` with transmittance ``T ← T·(1−α)``, which is exactly
+    sorted back-to-front alpha blending. Opaque-only scenes compile the
+    single-pass pipeline (the static layer count keeps the cost zero)."""
+    try:
+        import numpy as _np
+        transparent = bool(_np.any(
+            _np.asarray(scene.materials.coverage) < 1.0))
+    except Exception:  # traced scene under a caller's jit
+        transparent = False
+    layers = _TRANSPARENT_LAYERS if transparent else 1
+    return _render_preview_impl(scene, camera, width, height,
+                                enable_ssao, layers,
+                                jnp.asarray(ambient, jnp.float32))
+
+
+_TRANSPARENT_LAYERS = 4
+
+
+@partial(jax.jit,
+         static_argnames=("width", "height", "enable_ssao", "layers"))
+def _render_preview_impl(scene: RenderScene, camera: PinholeCamera,
+                         width: int, height: int, enable_ssao: bool,
+                         layers: int, ambient):
     from bifrost3d_tpu.preview.ssao import bilateral_blur, ssao
 
     origin, direction = camera_rays(camera, width, height)
     o = origin.reshape(-1, 3)
     d = direction.reshape(-1, 3)
-    hit = intersect_scene(scene.bvh, scene.tri_verts, o, d,
-                          t_min=scene.scene_epsilon,
-                          tri_components=scene.tri_components,
-                      tri_clustered=scene.tri_clustered)
-    mask = hit.mask
-    prim = jnp.maximum(hit.prim, 0)
-    v = scene.tri_verts[prim]
-    n = corner_normals(scene, prim)
-    mat_idx = scene.tri_material[prim]
-    bary = jnp.stack([1.0 - hit.u - hit.v, hit.u, hit.v], axis=-1)
-    position = jnp.einsum("rk,rkc->rc", bary, v)
-    normal = normalize(jnp.einsum("rk,rkc->rc", bary, n))
-    normal = jnp.where(dot(normal, d, keepdims=True) > 0, -normal, normal)
-    wo = -d
 
-    mats_lane = scene.materials.gather(mat_idx)
-    tint = mats_lane.tint
-    roughness = mats_lane.roughness
-    specularity = mats_lane.specularity
-    metallic = mats_lane.metallic
+    color_acc = jnp.zeros_like(o)
+    transmittance = jnp.ones(o.shape[0], jnp.float32)
+    alive = jnp.ones(o.shape[0], bool)
 
-    color = _light_contribution(scene, position, normal, wo, tint, roughness,
-                                specularity, metallic)
+    for layer in range(layers):
+        hit = intersect_scene(scene.bvh, scene.tri_verts, o, d,
+                              t_min=scene.scene_epsilon,
+                              tri_components=scene.tri_components,
+                              tri_clustered=scene.tri_clustered)
+        mask = hit.mask & alive
+        prim = jnp.maximum(hit.prim, 0)
+        v = scene.tri_verts[prim]
+        n = corner_normals(scene, prim)
+        mat_idx = scene.tri_material[prim]
+        bary = jnp.stack([1.0 - hit.u - hit.v, hit.u, hit.v], axis=-1)
+        position = jnp.einsum("rk,rkc->rc", bary, v)
+        normal = normalize(jnp.einsum("rk,rkc->rc", bary, n))
+        normal = jnp.where(dot(normal, d, keepdims=True) > 0, -normal, normal)
+        wo = -d
 
-    # Ambient / environment with SSAO modulation.
+        mats_lane = scene.materials.gather(mat_idx)
+        tint = mats_lane.tint
+        roughness = mats_lane.roughness
+        specularity = mats_lane.specularity
+        metallic = mats_lane.metallic
+        # Cutout materials store a threshold in the coverage slot
+        # (Material.h:84-85) — the preview has no texture fetch, so they
+        # render opaque; only genuine partial coverage blends.
+        is_cutout = (mats_lane.flags & 2) != 0
+        alpha = jnp.where(is_cutout, 1.0, mats_lane.coverage)
+
+        color = _light_contribution(scene, position, normal, wo, tint,
+                                    roughness, specularity, metallic)
+
+        # Ambient / environment with SSAO modulation (first layer only —
+        # the reference's SSAO reads the opaque G-buffer, Renderer.cpp:650).
+        if scene.environment is not None:
+            from bifrost3d_tpu.lights.environment import environment_evaluate
+            # Crude irradiance: env along the normal (preview fidelity).
+            ambient_light = environment_evaluate(scene.environment, normal)
+        else:
+            ambient_light = ambient
+
+        if enable_ssao and layer == 0:
+            # View-space G-buffer for the AO pass.
+            inv_rot = quat_conjugate(camera.transform.rotation)
+            view_pos = quat_rotate(
+                inv_rot, position - camera.transform.translation)
+            view_nrm = quat_rotate(inv_rot, normal)
+            vp = view_pos.reshape(height, width, 3)
+            vn = view_nrm.reshape(height, width, 3)
+            vmask = mask.reshape(height, width)
+            ao = ssao(vp, vn, vmask)
+            ao = bilateral_blur(ao, vp[..., 2]).reshape(-1)
+        else:
+            ao = jnp.ones_like(hit.t)
+
+        color = color + tint * ambient_light * ao[..., None]
+        color_acc = color_acc + jnp.where(
+            mask[..., None],
+            (transmittance * alpha)[..., None] * color, 0.0)
+        transmittance = jnp.where(mask, transmittance * (1.0 - alpha),
+                                  transmittance)
+        alive = mask & (alpha < 1.0)
+        if layer + 1 < layers:
+            # Continue the ray past the transparent surface: offset to the
+            # exit side (the flipped normal faces the ray origin).
+            o = jnp.where(alive[..., None],
+                          offset_ray_origin(position, -normal), o)
+
     if scene.environment is not None:
         from bifrost3d_tpu.lights.environment import environment_evaluate
-        # Crude irradiance: env along the normal (preview fidelity).
-        ambient_light = environment_evaluate(scene.environment, normal)
         background = environment_evaluate(scene.environment, d)
     else:
-        ambient_light = jnp.asarray(ambient, jnp.float32)
         background = jnp.broadcast_to(scene.environment_tint, d.shape)
-
-    if enable_ssao:
-        # View-space G-buffer for the AO pass.
-        inv_rot = quat_conjugate(camera.transform.rotation)
-        view_pos = quat_rotate(inv_rot, position - camera.transform.translation)
-        view_nrm = quat_rotate(inv_rot, normal)
-        vp = view_pos.reshape(height, width, 3)
-        vn = view_nrm.reshape(height, width, 3)
-        vmask = mask.reshape(height, width)
-        ao = ssao(vp, vn, vmask)
-        ao = bilateral_blur(ao, vp[..., 2]).reshape(-1)
-    else:
-        ao = jnp.ones_like(hit.t)
-
-    color = color + tint * ambient_light * ao[..., None]
-    img = jnp.where(mask[..., None], color, background)
+    img = color_acc + transmittance[..., None] * background
     return img.reshape(height, width, 3)
 
 

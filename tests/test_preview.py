@@ -22,6 +22,59 @@ class TestPreviewRenderer:
         # Not black: lights contribute.
         assert img.mean() > 0.01
 
+    def test_transparent_pass_blends(self):
+        """A half-coverage pane in front of a wall blends wall + pane —
+        the ray-based analogue of the reference's sorted transparent-model
+        pass (DX11Renderer/Renderer.cpp:681-734)."""
+        from bifrost3d_tpu.geometry.creation import make_plane
+        from bifrost3d_tpu.lights.types import LIGHT_SPHERE, LightArray
+        from bifrost3d_tpu.scene.materials import MaterialArray
+        from bifrost3d_tpu.scene.render_scene import build_render_scene
+        from bifrost3d_tpu.scene.camera import perspective_camera
+
+        def build(pane_coverage):
+            mats = MaterialArray.build([
+                dict(tint=(0.9, 0.1, 0.1)),                      # wall
+                dict(tint=(0.1, 0.1, 0.9), coverage=pane_coverage),
+            ])
+            wall = make_plane(size=4.0)
+            pane = make_plane(size=4.0)
+            rot = np.asarray([[1, 0, 0, 0], [0, 0, -1, 0], [0, 1, 0, 0]],
+                             np.float32)       # upright, facing camera
+            instances = [
+                (wall, 0, rot + np.asarray(
+                    [[0, 0, 0, 0], [0, 0, 0, 0], [0, 0, 0, 2.0]],
+                    np.float32)),
+                (pane, 1, rot),
+            ]
+            lights = LightArray.build([
+                {"kind": LIGHT_SPHERE, "position": (0.0, 0.0, -3.0),
+                 "radius": 0.1, "power": (60.0,) * 3}])
+            scene = build_render_scene(instances, mats, lights)
+            cam = perspective_camera(eye=(0, 0, -4.0), target=(0, 0, 0),
+                                     fov_radians=np.pi / 4, aspect=1.0)
+            return scene, cam
+
+        opaque_scene, cam = build(1.0)
+        opaque = np.asarray(render_preview(opaque_scene, cam, 24, 24,
+                                           enable_ssao=False))
+        clear_scene, cam = build(0.0)
+        clear = np.asarray(render_preview(clear_scene, cam, 24, 24,
+                                          enable_ssao=False))
+        half_scene, cam = build(0.5)
+        blended = np.asarray(render_preview(half_scene, cam, 24, 24,
+                                            enable_ssao=False))
+        # Front-to-back peeling is exactly back-to-front alpha blending:
+        # blend(α) = α·pane + (1−α)·behind, so the α=0.5 frame must equal
+        # the average of the α=1 (pane only) and α=0 (wall only) frames.
+        np.testing.assert_allclose(blended, 0.5 * opaque + 0.5 * clear,
+                                   rtol=1e-4, atol=1e-5)
+        # And the pane really attenuates: blue down, wall red up.
+        c_opaque, c_blend = opaque[12, 12], blended[12, 12]
+        assert c_blend[2] < 0.7 * c_opaque[2]
+        assert c_blend[0] > c_opaque[0]
+        assert np.isfinite(blended).all()
+
     def test_ssao_darkens_without_killing_open_areas(self):
         scene, cam = create_cornell_box()
         with_ao = np.asarray(render_preview(scene, cam, 32, 32, enable_ssao=True))
