@@ -78,7 +78,7 @@ def bench_cornell(profile: bool = False):
 
     # --- megakernel, folded reps (device-true) ---
     if use_mega:
-        PM._pack_scene(scene)
+        PM.prewarm_megakernel(scene)
 
         @jax.jit
         def mega_many():

@@ -57,6 +57,11 @@ LANES = (8, 128)
 MAX_TRIS = 512
 MAX_MATERIALS = 32
 MAX_LIGHTS = 8
+# Texture scope: total level-0 texel budget across the bank. Fetches run as
+# one-hot MXU contractions over a flattened (8, N) VMEM table, so the cost
+# scales with N — tiny procedural textures (checkers, cutout grids) are the
+# target; big image textures stay on the wavefront.
+MAX_TEX_TEXELS = 4096
 _BIG = 3.0e38
 PI = float(np.pi)
 TWO_PI = 2.0 * PI
@@ -690,6 +695,67 @@ def _fetch_attrs(attr_ref, prim):
     return [jnp.concatenate(per_attr[a], axis=0) for a in range(a_rows)]
 
 
+def _material_coverage(mats_ref, mat_idx, one):
+    """Per-lane material coverage / cutout threshold (SMEM col 10 scan)."""
+    cov = one
+    for k in range(mats_ref.shape[0]):
+        cov = jnp.where(mat_idx == np.float32(k), mats_ref[k, 10], cov)
+    return cov
+
+
+def _round_half_even(x):
+    """jnp.round semantics (ties to even) from primitives Mosaic lowers."""
+    f = jnp.floor(x)
+    d = x - f
+    up = f + 1.0
+    f_even = jnp.floor(f * 0.5) * 2.0 == f
+    return jnp.where(d > 0.5, up,
+                     jnp.where(d < 0.5, f, jnp.where(f_even, f, up)))
+
+
+def _tex_fetch_nearest(tex_ref, meta, u, v):
+    """NEAREST fetch of texture ``meta`` = (base, w, h, wrap_u, wrap_v,
+    filter) for (8,128) uv tiles → 4 rgba tiles.
+
+    Mirrors io/texture.py sample_texture exactly (v-flip, float-space wrap,
+    −0.5 texel center, round-half-even, integer wrap) so megakernel↔
+    wavefront parity holds texel-for-texel. The fetch itself is the
+    one-hot MXU contraction over the flattened (8, N) texel table."""
+    from bifrost3d_tpu.io.texture import WRAP_REPEAT
+
+    base, w, h, wrap_u, wrap_v, _filt = meta
+    vv = 1.0 - v
+    fu = u - jnp.floor(u) if wrap_u == WRAP_REPEAT else jnp.clip(u, 0.0, 1.0)
+    fv = (vv - jnp.floor(vv) if wrap_v == WRAP_REPEAT
+          else jnp.clip(vv, 0.0, 1.0))
+    x = _round_half_even(fu * np.float32(w) - 0.5)
+    y = _round_half_even(fv * np.float32(h) - 0.5)
+    if wrap_u == WRAP_REPEAT:
+        x = x - np.float32(w) * jnp.floor(x / np.float32(w))
+    else:
+        x = jnp.clip(x, 0.0, np.float32(w - 1))
+    if wrap_v == WRAP_REPEAT:
+        y = y - np.float32(h) * jnp.floor(y / np.float32(h))
+    else:
+        y = jnp.clip(y, 0.0, np.float32(h - 1))
+    flat = np.float32(base) + y * np.float32(w) + x       # (8,128)
+
+    n_pad = tex_ref.shape[1]
+    tab = tex_ref[:, :]                                   # (8, N)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 128), 0
+                                    ).astype(jnp.float32)
+    outs = [[] for _ in range(4)]
+    for s in range(8):
+        onehot = (iota == flat[s:s + 1, :]).astype(jnp.float32)  # (N,128)
+        rows = jax.lax.dot_general(
+            tab, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)          # (8, 128)
+        for c in range(4):
+            outs[c].append(rows[c:c + 1, :])
+    return [jnp.concatenate(outs[c], axis=0) for c in range(4)]
+
+
 # ---------------------------------------------------------------------------
 # Lights (sphere cone sampling + directional; lights SMEM (L, 12))
 # ---------------------------------------------------------------------------
@@ -785,10 +851,18 @@ def _make_kernel(cfg):
     ris_count = cfg["ris_count"]
     firefly_clamp = cfg["firefly_clamp"]
     delta_light_clamp = cfg["delta_light_clamp"]
+    # Texture/coverage scope (static): mat_tex[k] = (tr_tex, cov_tex,
+    # is_cutout) per material; tex_meta[i] = flattened-table metadata.
+    mat_tex = cfg.get("mat_tex", ((-1, -1, 0),) * n_mats)
+    tex_meta = cfg.get("tex_meta", ())
+    shadow_steps = cfg.get("shadow_steps", 0)   # 0 = binary any-hit shadows
+    used_tex = sorted({b for mt in mat_tex for b in mt[:2] if b >= 0})
+    any_cov = shadow_steps > 0 or any(
+        mt[1] >= 0 or mt[2] for mt in mat_tex)
     DIM_NEE, DIM_BSDF, PER_BOUNCE = 1, 2, 8
 
     def kernel(acc_ref, eps_ref, envt_ref, mats_ref, lights_ref,
-               tri_ref, attr_ref, rho_ggx_ref, rho_fres_ref,
+               tri_ref, attr_ref, rho_ggx_ref, rho_fres_ref, tex_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                hash_ref, act_ref, r_out, g_out, b_out, rays_out):
         accumulation = acc_ref[0]
@@ -883,6 +957,7 @@ def _make_kernel(cfg):
             m_metal = zero
             m_thin = zero
             m_emis = (zero, zero, zero)
+            m_cov = one
             for k in range(n_mats):
                 sel = mat_idx == np.float32(k)
                 m_tint = _where3(sel, (mats_ref[k, 0] * one,
@@ -895,12 +970,72 @@ def _make_kernel(cfg):
                 m_emis = _where3(sel, (mats_ref[k, 7] * one,
                                        mats_ref[k, 8] * one,
                                        mats_ref[k, 9] * one), m_emis)
+                if any_cov:
+                    m_cov = jnp.where(sel, mats_ref[k, 10], m_cov)
             thin_walled = m_thin > 0.5
+
+            # --- textures (one-hot MXU fetch per distinct binding) ---
+            if used_tex:
+                u_uv = attrs[13] * bary0 + attrs[14] * hu + attrs[15] * hv
+                v_uv = attrs[16] * bary0 + attrs[17] * hu + attrs[18] * hv
+                tex_rgba = {b: _tex_fetch_nearest(tex_ref, tex_meta[b],
+                                                  u_uv, v_uv)
+                            for b in used_tex}
+                tex_mul = (one, one, one)
+                tex_rough = one
+                for k, (tr_b, _cv, _cut) in enumerate(mat_tex):
+                    if tr_b < 0:
+                        continue
+                    sel = mat_idx == np.float32(k)
+                    tr = tex_rgba[tr_b]
+                    tex_mul = _where3(sel, (tr[0], tr[1], tr[2]), tex_mul)
+                    tex_rough = jnp.where(sel, tr[3], tex_rough)
+                m_tint = _mul(m_tint, tex_mul)
+                m_rough = m_rough * tex_rough
+            else:
+                tex_rgba = {}
+
+            def coverage_lanes(mat_idx_c, cov_base, u_c, v_c):
+                """Per-lane coverage with cutout binarization — the
+                in-kernel mirror of _surface_material_params' coverage
+                path (path_tracer.py). cov_base = material coverage or
+                cutout threshold per lane."""
+                cov = cov_base
+                for k, (_tr, cov_b, is_cut) in enumerate(mat_tex):
+                    if cov_b < 0 and not is_cut:
+                        continue
+                    sel = mat_idx_c == np.float32(k)
+                    if cov_b >= 0:
+                        samp = _tex_fetch_nearest(tex_ref, tex_meta[cov_b],
+                                                  u_c, v_c)[0]
+                    else:
+                        samp = one
+                    if is_cut:
+                        ck = jnp.where(samp < cov_base, 0.0, 1.0)
+                    else:
+                        ck = cov_base * samp
+                    cov = jnp.where(sel, ck, cov)
+                return cov
+
+            # --- RNG ---
+            dim_bsdf = bounce * jnp.uint32(PER_BOUNCE) + jnp.uint32(DIM_BSDF)
+            u_bsdf = _path_rng_4d(accumulation, pixel_hash, dim_bsdf)
+            dim_nee = bounce * jnp.uint32(PER_BOUNCE) + jnp.uint32(DIM_NEE)
+            u_nee = _path_rng_4d(accumulation, pixel_hash, dim_nee)
 
             hit_from_front = _dot(geo_n, direction) < 0.0
             backside_cull = ~hit_from_front & ~thin_walled
-            passthrough = mesh_hit & backside_cull
-            shade = mesh_hit & ~backside_cull
+            if any_cov:
+                cov = coverage_lanes(
+                    mat_idx, m_cov,
+                    attrs[13] * bary0 + attrs[14] * hu + attrs[15] * hv,
+                    attrs[16] * bary0 + attrs[17] * hu + attrs[18] * hv)
+                discard_cov = cov < u_bsdf[3]
+                passthrough = mesh_hit & (backside_cull | discard_cov)
+                shade = mesh_hit & ~backside_cull & ~discard_cov
+            else:
+                passthrough = mesh_hit & backside_cull
+                shade = mesh_hit & ~backside_cull
 
             gf = _where3(hit_from_front, geo_n, _scale(geo_n, -1.0))
             sn = _where3(hit_from_front, shading_n, _scale(shading_n, -1.0))
@@ -920,12 +1055,6 @@ def _make_kernel(cfg):
             # surface emission
             radiance = _add(radiance, _where3(
                 shade, _mul(throughput, m_emis), (zero, zero, zero)))
-
-            # --- RNG ---
-            dim_bsdf = bounce * jnp.uint32(PER_BOUNCE) + jnp.uint32(DIM_BSDF)
-            u_bsdf = _path_rng_4d(accumulation, pixel_hash, dim_bsdf)
-            dim_nee = bounce * jnp.uint32(PER_BOUNCE) + jnp.uint32(DIM_NEE)
-            u_nee = _path_rng_4d(accumulation, pixel_hash, dim_nee)
 
             # --- NEE with RIS over ris_count candidates ---
             res_dir = (zero, zero, zero)
@@ -1005,10 +1134,41 @@ def _make_kernel(cfg):
                 side = jnp.where(_dot(res_dir, gf) >= 0.0, 1.0, -1.0)
                 shadow_origin = _offset_ray_origin(position, _scale(gf, side))
                 has_light = shade & (_max3(l_radiance) > 0.0)
-                occluded = _trace_any(tri_ref, n_tris, shadow_origin,
-                                      res_dir, eps_tile,
-                                      res_dist * (1.0 - 1e-4))
-                trans = jnp.where(occluded, 0.0, 1.0)
+                if shadow_steps > 0:
+                    # Coverage-aware shadow march — the in-kernel mirror of
+                    # path_tracer._shadow_transmittance: closest-hit up to
+                    # ``shadow_steps`` times, throughput ×= (1−coverage),
+                    # advance past each surface; leftovers fully occlude.
+                    trans = one
+                    t_rem = res_dist * (1.0 - 1e-4)
+                    s_o = shadow_origin
+                    for sstep in range(shadow_steps):
+                        t_s, p_s, su, sv = _trace(tri_ref, n_tris, s_o,
+                                                  res_dir, eps_tile, t_rem)
+                        hit_s = p_s >= 0.0
+                        blocked = hit_s & (trans > 0.0)
+                        if sstep == shadow_steps - 1:
+                            trans = jnp.where(blocked, 0.0, trans)
+                            break
+                        attrs_s = _fetch_attrs(attr_ref, p_s)
+                        sb0 = 1.0 - su - sv
+                        cov_s = coverage_lanes(
+                            attrs_s[9],
+                            _material_coverage(mats_ref, attrs_s[9], one),
+                            attrs_s[13] * sb0 + attrs_s[14] * su
+                            + attrs_s[15] * sv,
+                            attrs_s[16] * sb0 + attrs_s[17] * su
+                            + attrs_s[18] * sv)
+                        trans = jnp.where(blocked, trans * (1.0 - cov_s),
+                                          trans)
+                        advance = jnp.where(hit_s, t_s, 0.0) + eps
+                        s_o = _add(s_o, _scale(res_dir, advance))
+                        t_rem = t_rem - advance
+                else:
+                    occluded = _trace_any(tri_ref, n_tris, shadow_origin,
+                                          res_dir, eps_tile,
+                                          res_dist * (1.0 - 1e-4))
+                    trans = jnp.where(occluded, 0.0, 1.0)
                 radiance = _add(radiance, _where3(
                     has_light, _scale(l_radiance, trans), (zero, zero, zero)))
             nee_valid = res_valid > 0.5
@@ -1095,15 +1255,30 @@ def megakernel_ineligibility_reasons(scene: RenderScene,
             reasons.append("Diffuse/Transmissive shading model")
         if not bool(np.all(np.asarray(mats.coat) == 0.0)):
             reasons.append("coat")
-        if not bool(np.all(np.asarray(mats.coverage) == 1.0)):
-            reasons.append("partial coverage")
-        if bool(np.any(np.asarray(mats.flags) & 2)):   # FLAG_CUTOUT
-            reasons.append("cutout")
-        for name, tex in (("tint-roughness", mats.tint_roughness_texture),
-                          ("metallic", mats.metallic_texture),
-                          ("coverage", mats.coverage_texture)):
-            if bool(np.any(np.asarray(tex) >= 0)):
-                reasons.append(f"{name} textures")
+        if bool(np.any(np.asarray(mats.metallic_texture) >= 0)):
+            reasons.append("metallic textures")
+        # Tint-roughness / coverage textures ARE in scope when the bank's
+        # level-0 texels fit the one-hot fetch budget and every BOUND
+        # texture uses NEAREST filtering (the target class: procedural
+        # checkers + cutout grids, Opacity.h / Utils.cpp).
+        bound = set()
+        for tex in (np.asarray(mats.tint_roughness_texture),
+                    np.asarray(mats.coverage_texture)):
+            bound |= {int(b) for b in tex if b >= 0}
+        if bound:
+            from bifrost3d_tpu.io.texture import FILTER_NONE
+            bank = scene.textures
+            if bank.count == 0:
+                reasons.append("texture bindings without a texture bank")
+            else:
+                sizes = np.asarray(bank.sizes)
+                total = int((sizes[:, 0] * sizes[:, 1]).sum())
+                if total > MAX_TEX_TEXELS:
+                    reasons.append(
+                        f"{total} texels > MAX_TEX_TEXELS {MAX_TEX_TEXELS}")
+                filters = np.asarray(bank.filters)
+                if any(int(filters[b]) != FILTER_NONE for b in bound):
+                    reasons.append("non-nearest texture filtering")
         if not bool(np.all(np.asarray(scene.tri_tint_roughness) == 1.0)):
             reasons.append("per-vertex tint-roughness")
         kinds = np.asarray(scene.lights.kind)
@@ -1148,6 +1323,11 @@ def _pack_scene(scene: RenderScene):
         return _PACK_CACHE[key]
     if len(_PACK_CACHE) > 32:
         _PACK_CACHE.clear()   # viewer-session bound; scenes are rebuilt rarely
+    if isinstance(scene.tri_verts, jax.core.Tracer):
+        raise RuntimeError(
+            "render_mesh_megakernel was traced with a scene whose geometry "
+            "was never packed: run one eager dispatch (or "
+            "prewarm_megakernel(scene)) before jitting over it")
     tv = np.asarray(scene.tri_verts, np.float32)        # [t, 3, 3]
     t = tv.shape[0]
     t_pad = max(8, ((t + 7) // 8) * 8)
@@ -1164,10 +1344,14 @@ def _pack_scene(scene: RenderScene):
                           np.float32)                    # [t, 3, 3]
     geo_n = np.cross(e1, e2)
     geo_n /= np.maximum(np.linalg.norm(geo_n, axis=-1, keepdims=True), 1e-20)
-    attr = np.zeros((16, t_pad), np.float32)
+    attr = np.zeros((24, t_pad), np.float32)
     attr[0:9, :t] = corner_n.reshape(t, 9).T
     attr[9, :t] = np.asarray(scene.tri_material, np.float32)
     attr[10:13, :t] = geo_n.T
+    # Rows 13-18: per-corner texcoords (u0,u1,u2,v0,v1,v2).
+    uvs = np.asarray(scene.tri_uvs, np.float32)          # [t, 3, 2]
+    attr[13:16, :t] = uvs[:, :, 0].T
+    attr[16:19, :t] = uvs[:, :, 1].T
 
     packed = dict(
         # Pin the keyed arrays: id()-keyed caching is only sound while the
@@ -1179,34 +1363,135 @@ def _pack_scene(scene: RenderScene):
     return packed
 
 
+_TEX_CACHE = {}
+
+
+def _pack_textures(scene: RenderScene):
+    """Flatten every texture's level 0 into one (8, N_pad) VMEM table for
+    one-hot MXU fetches → (table, tex_meta) with
+    tex_meta[i] = (base, width, height, wrap_u, wrap_v, filter) as static
+    python ints. Cached per bank identity."""
+    bank = scene.textures
+    n = bank.count
+    if n == 0:
+        return np.zeros((8, 128), np.float32), ()
+    key = id(bank.data)
+    if key in _TEX_CACHE:
+        return _TEX_CACHE[key][0], _TEX_CACHE[key][1]
+    if len(_TEX_CACHE) > 16:
+        _TEX_CACHE.clear()
+    data = np.asarray(bank.data, np.float32)     # [n, atlas_h, max_w, 4]
+    sizes = np.asarray(bank.sizes)               # [n, 2] (h, w) level 0
+    filters = np.asarray(bank.filters)
+    wraps = np.asarray(bank.wraps)
+    metas = []
+    cols = []
+    base = 0
+    for i in range(n):
+        h, w = int(sizes[i, 0]), int(sizes[i, 1])
+        texels = data[i, :h, :w, :].reshape(h * w, 4)
+        cols.append(texels)
+        metas.append((base, w, h, int(wraps[i, 0]), int(wraps[i, 1]),
+                      int(filters[i])))
+        base += h * w
+    flat = np.concatenate(cols, axis=0)          # [N, 4]
+    n_pad = max(8, ((flat.shape[0] + 127) // 128) * 128)
+    tab = np.zeros((8, n_pad), np.float32)
+    tab[0:4, :flat.shape[0]] = flat.T
+    meta = tuple(metas)
+    _TEX_CACHE[key] = (tab, meta, bank.data)     # pin the keyed array
+    return tab, meta
+
+
 def _live_tables(scene: RenderScene):
     """Material/light tables rebuilt from the LIVE scene on every dispatch.
 
-    These are tiny (≤ MAX_MATERIALS×12 / MAX_LIGHTS×12 f32) so the rebuild
-    is host-side noise, and it guarantees ``_replace``-style scene edits
-    (env tint, material fields, light power …) are visible immediately."""
+    Built with jnp ops so they stay correct BOTH for concrete scenes and
+    under a caller's jit (newer JAX lifts closure constants to tracers —
+    a host-side numpy pack would raise TracerArrayConversionError on a
+    cache miss inside jit). Tiny (≤ MAX_MATERIALS×12 f32): the rebuild
+    guarantees ``_replace``-style scene edits (env tint, material fields,
+    light power …) are visible immediately (r4 advisor finding)."""
     mats = scene.materials
     m = mats.count
-    mat_tab = np.zeros((max(m, 1), 12), np.float32)
-    mat_tab[:m, 0:3] = np.asarray(mats.tint)
-    mat_tab[:m, 3] = np.asarray(mats.roughness)
-    mat_tab[:m, 4] = np.asarray(mats.specularity)
-    mat_tab[:m, 5] = np.asarray(mats.metallic)
-    # Cutouts are implicitly thin-walled (Types.h:384) — irrelevant here
-    # (cutouts are gated out), flag 1 = ThinWalled.
-    mat_tab[:m, 6] = (np.asarray(mats.flags) & 1).astype(np.float32)
-    mat_tab[:m, 7:10] = np.asarray(mats.emission)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    if m:
+        # Cutouts are implicitly thin-walled (Types.h:384: is_thin_walled()
+        # tests Cutout | ThinWalled), so flags 1 and 2 both set column 6.
+        thin = ((jnp.asarray(mats.flags) & 3) != 0).astype(jnp.float32)
+        mat_tab = jnp.concatenate([
+            f32(mats.tint).reshape(m, 3),
+            f32(mats.roughness).reshape(m, 1),
+            f32(mats.specularity).reshape(m, 1),
+            f32(mats.metallic).reshape(m, 1),
+            thin.reshape(m, 1),
+            f32(mats.emission).reshape(m, 3),
+            # Coverage — or the cutout threshold (shared storage,
+            # Material.h:84-85).
+            f32(mats.coverage).reshape(m, 1),
+            jnp.zeros((m, 1), jnp.float32),
+        ], axis=1)
+    else:
+        mat_tab = jnp.zeros((1, 12), jnp.float32)
 
     lights = scene.lights
     n_l = lights.count
-    light_tab = np.zeros((max(n_l, 1), 12), np.float32)
     if n_l:
-        light_tab[:n_l, 0:3] = np.asarray(lights.position)
-        light_tab[:n_l, 3] = np.asarray(lights.radius)
-        light_tab[:n_l, 4:7] = np.asarray(lights.power)
-        light_tab[:n_l, 7:10] = np.asarray(lights.direction)
-    light_kinds = tuple(int(k) for k in np.asarray(lights.kind))
-    return mat_tab, m, light_tab, light_kinds
+        light_tab = jnp.concatenate([
+            f32(lights.position).reshape(n_l, 3),
+            f32(lights.radius).reshape(n_l, 1),
+            f32(lights.power).reshape(n_l, 3),
+            f32(lights.direction).reshape(n_l, 3),
+            jnp.zeros((n_l, 2), jnp.float32),
+        ], axis=1)
+    else:
+        light_tab = jnp.zeros((1, 12), jnp.float32)
+    return mat_tab, m, light_tab
+
+
+_STATIC_CACHE = {}
+
+
+def _static_info(scene: RenderScene):
+    """Kernel-structure statics (light kinds, texture bindings, cutout
+    flags) read host-side and cached per identity. These cannot be read
+    from a traced scene — callers that jit over render_mesh_megakernel
+    must run one eager dispatch (or prewarm_megakernel) first."""
+    key = (id(scene.lights.kind), id(scene.materials.flags),
+           id(scene.materials.tint_roughness_texture),
+           id(scene.materials.coverage_texture))
+    if key in _STATIC_CACHE:
+        return _STATIC_CACHE[key][0]
+    if len(_STATIC_CACHE) > 32:
+        _STATIC_CACHE.clear()
+    try:
+        mats = scene.materials
+        info = dict(
+            light_kinds=tuple(int(k) for k in np.asarray(scene.lights.kind)),
+            mat_tex=tuple(
+                (int(tr), int(cv), int(bool(fl & 2)))
+                for tr, cv, fl in zip(
+                    np.asarray(mats.tint_roughness_texture),
+                    np.asarray(mats.coverage_texture),
+                    np.asarray(mats.flags))),
+        )
+    except jax.errors.TracerArrayConversionError as e:
+        raise RuntimeError(
+            "render_mesh_megakernel was traced with a scene whose static "
+            "tables were never packed: run one eager dispatch (or "
+            "prewarm_megakernel(scene)) before jitting over it") from e
+    _STATIC_CACHE[key] = (info, (scene.lights.kind, scene.materials.flags,
+                                 scene.materials.tint_roughness_texture,
+                                 scene.materials.coverage_texture))
+    return info
+
+
+def prewarm_megakernel(scene: RenderScene) -> None:
+    """Populate every host-side pack cache for ``scene`` so subsequent
+    megakernel dispatches work from inside a caller's jit."""
+    _pack_scene(scene)
+    _pack_textures(scene)
+    _static_info(scene)
 
 
 def _rho_tables():
@@ -1228,26 +1513,36 @@ def render_mesh_megakernel(scene: RenderScene, camera, width: int,
     SceneSync ``_replace`` edit can touch (materials, lights, env tint,
     epsilon) is read from the live scene on every dispatch."""
     packed = _pack_scene(scene)
-    mat_tab, n_mats, light_tab, light_kinds = _live_tables(scene)
+    mat_tab, n_mats, light_tab = _live_tables(scene)
     rho_ggx, rho_fres = _rho_tables()
+    tex_tab, tex_meta = _pack_textures(scene)
+    info = _static_info(scene)
+    light_kinds = info["light_kinds"]
+    mat_tex = info["mat_tex"]
+    shadow_steps = (settings.shadow_coverage_steps
+                    if settings.coverage_aware_shadows else 0)
     return _render_packed(
         packed["tri"], packed["attr"], jnp.asarray(mat_tab),
-        jnp.asarray(light_tab), rho_ggx, rho_fres,
+        jnp.asarray(light_tab), rho_ggx, rho_fres, jnp.asarray(tex_tab),
         jnp.asarray(scene.environment_tint, jnp.float32),
         jnp.asarray(scene.scene_epsilon, jnp.float32).reshape(1),
         camera, accumulation,
         width=width, height=height,
         n_tris=packed["n_tris"], n_mats=n_mats,
         light_kinds=light_kinds, settings=settings,
+        mat_tex=mat_tex, tex_meta=tex_meta, shadow_steps=shadow_steps,
         interpret=interpret)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "n_tris", "n_mats",
-                                   "light_kinds", "settings", "interpret"))
-def _render_packed(tri, attr, mats, lights, rho_ggx, rho_fres, env_tint,
-                   eps, camera, accumulation, *, width: int, height: int,
-                   n_tris: int, n_mats: int, light_kinds: tuple,
-                   settings: RenderSettings, interpret: bool):
+                                   "light_kinds", "settings", "mat_tex",
+                                   "tex_meta", "shadow_steps", "interpret"))
+def _render_packed(tri, attr, mats, lights, rho_ggx, rho_fres, tex_tab,
+                   env_tint, eps, camera, accumulation, *, width: int,
+                   height: int, n_tris: int, n_mats: int, light_kinds: tuple,
+                   settings: RenderSettings, mat_tex: tuple = (),
+                   tex_meta: tuple = (), shadow_steps: int = 0,
+                   interpret: bool = False):
     from bifrost3d_tpu.sampling.hashes import pcg2d
     from bifrost3d_tpu.sampling.sobol import Dimension, path_rng_4d
     from bifrost3d_tpu.scene.camera import camera_ray_directions
@@ -1286,6 +1581,7 @@ def _render_packed(tri, attr, mats, lights, rho_ggx, rho_fres, env_tint,
         ris_count=settings.next_event_sample_count,
         firefly_clamp=settings.firefly_clamp,
         delta_light_clamp=settings.delta_light_clamp,
+        mat_tex=mat_tex, tex_meta=tex_meta, shadow_steps=shadow_steps,
     )
     out_shape = [jax.ShapeDtypeStruct((n_blocks * LANES[0], LANES[1]),
                                       jnp.float32)] * 4
@@ -1293,7 +1589,7 @@ def _render_packed(tri, attr, mats, lights, rho_ggx, rho_fres, env_tint,
         _make_kernel(cfg),
         grid=(n_blocks,),
         in_specs=[smem, smem, smem, smem, smem,
-                  vmem, vmem, vmem, vmem,
+                  vmem, vmem, vmem, vmem, vmem,
                   block, block, block, block, block, block,
                   block, block],
         out_specs=[block] * 4,
@@ -1301,7 +1597,7 @@ def _render_packed(tri, attr, mats, lights, rho_ggx, rho_fres, env_tint,
         interpret=interpret,
     )(accumulation.reshape(1), eps, env_tint,
       mats, lights,
-      tri, attr, rho_ggx, rho_fres,
+      tri, attr, rho_ggx, rho_fres, tex_tab,
       tile(origin[..., 0]), tile(origin[..., 1]), tile(origin[..., 2]),
       tile(direction[..., 0]), tile(direction[..., 1]),
       tile(direction[..., 2]),

@@ -63,6 +63,63 @@ def test_veach_eligible_and_matches_wavefront():
     _compare(scene, cam, settings)
 
 
+def test_opacity_scene_textured_cutout_matches_wavefront():
+    """Opacity.h: checkered-floor texture, 17x17 cutout grid box, and
+    coverage-0.75 thin planes — exercises the r5 megakernel texture fetch,
+    cutout binarization, stochastic transparency, and the coverage-aware
+    shadow march (VERDICT r4 #2)."""
+    from bifrost3d_tpu.apps.scenes import create_opacity_scene
+    from bifrost3d_tpu.integrator.pallas_mesh import (
+        megakernel_ineligibility_reasons)
+    scene, cam = create_opacity_scene()
+    settings = settings_for_scene(scene, max_bounce_count=2)
+    assert mesh_megakernel_eligible(scene, settings), \
+        megakernel_ineligibility_reasons(scene, settings)
+    img, _ = _compare(scene, cam, settings)
+    # The light sits INSIDE the cutout box — single-sample frames are dim
+    # but must not be black (grid holes + the lit floor patch).
+    assert img.mean() > 1e-4
+
+
+def test_textured_cornell_eligible_and_matches():
+    """A Cornell-style room over the Utils.cpp checkered floor texture —
+    the 'textured Cornell' VERDICT r4 #2 names as the widening gate."""
+    from bifrost3d_tpu.apps.scenes import _checkered_floor_parts, _trs
+    from bifrost3d_tpu.geometry.creation import make_box
+    from bifrost3d_tpu.io.texture import TextureBank
+    from bifrost3d_tpu.lights.types import LIGHT_SPHERE, LightArray
+    from bifrost3d_tpu.scene.materials import MaterialArray, dielectric
+    from bifrost3d_tpu.scene.render_scene import build_render_scene
+    from bifrost3d_tpu.scene.camera import perspective_camera
+    from bifrost3d_tpu.integrator.pallas_mesh import (
+        megakernel_ineligibility_reasons)
+
+    floor_mesh, floor_mat, floor_tex = _checkered_floor_parts(
+        floor_size=4.0, checker_size=0.5)
+    textures = TextureBank.build([floor_tex])
+    floor_mat["tint_roughness_texture"] = 0
+    mats = MaterialArray.build([
+        floor_mat, dielectric((0.6, 0.3, 0.2), 0.4)])
+    instances = [
+        (floor_mesh, 0, _trs((0, -0.5, 0))),
+        (make_box(size=0.6), 1, _trs((0, -0.2, 0.3))),
+    ]
+    lights = LightArray.build([
+        {"kind": LIGHT_SPHERE, "position": (0.0, 1.4, -0.5),
+         "radius": 0.2, "power": (30.0,) * 3}])
+    scene = build_render_scene(instances, mats, lights, textures=textures)
+    cam = perspective_camera(eye=(0, 0.6, -2.2), target=(0, -0.2, 0),
+                             fov_radians=np.pi / 4, aspect=1.0)
+    settings = settings_for_scene(scene, max_bounce_count=2)
+    assert mesh_megakernel_eligible(scene, settings), \
+        megakernel_ineligibility_reasons(scene, settings)
+    img, ref = _compare(scene, cam, settings)
+    assert img.mean() > 0.005
+    # The checker actually shows: floor row luminance alternates.
+    row = img[-4]
+    assert row.max() > 2.0 * max(row.min(), 1e-4)
+
+
 def test_ineligible_scenes_fall_back():
     from bifrost3d_tpu.apps.scenes import create_glass_scene
     scene, _ = create_glass_scene()  # transmissive shading model
