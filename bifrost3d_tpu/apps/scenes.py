@@ -220,7 +220,8 @@ def create_sphere_scene(aspect=1.0):
         (make_plane(size=20.0), 0, _trs((0, -0.5, 0))),
         (make_sphere(radius=0.5), 1, _trs((0, 0, 0)))]
     env = np.full((16, 32, 3), 0.8, F32)
-    scene = build_render_scene(instances, mats, environment_map=env)
+    scene = build_render_scene(instances, mats, environment_map=env,
+                               presample_environment=8192)
     camera = perspective_camera(eye=(0, 0.5, -2.5), target=(0, 0, 0),
                                 fov_radians=PI / 4, aspect=aspect)
     return scene, camera
@@ -255,7 +256,8 @@ def create_glass_scene(aspect=1.0):
         {"kind": LIGHT_SPHERE, "position": (0, 4.0, -2.0), "radius": 0.5,
          "power": (150.0, 150.0, 150.0)}])
     env = np.full((16, 32, 3), 0.3, F32)
-    scene = build_render_scene(instances, mats, lights, environment_map=env)
+    scene = build_render_scene(instances, mats, lights, environment_map=env,
+                               presample_environment=8192)
     camera = perspective_camera(eye=(0, 0.6, -3.0), target=(0, 0, 0),
                                 fov_radians=PI / 4, aspect=aspect)
     return scene, camera
@@ -348,7 +350,8 @@ def create_test_scene(aspect=1.0):
         {"kind": LIGHT_SPHERE, "position": (2, 4.0, -3.0), "radius": 0.4,
          "power": (200.0, 200.0, 200.0)}])
     env = np.full((16, 32, 3), 0.25, F32)
-    scene = build_render_scene(instances, mats, lights, environment_map=env)
+    scene = build_render_scene(instances, mats, lights, environment_map=env,
+                               presample_environment=8192)
     camera = perspective_camera(eye=(0, 0.8, -3.0), target=(0, -0.1, 0),
                                 fov_radians=PI / 4, aspect=aspect)
     return scene, camera

@@ -30,10 +30,27 @@ same clamps); agreement is f32-noise-level (op reassociation and a
 ≤1-ULP-identical uint→float conversion can flip individual stochastic
 decisions), gated statistically by tests/test_pallas_mesh.py.
 
-Scope (``mesh_megakernel_eligible``): ≤ MAX_TRIS triangles, DefaultShading
-materials only (no coat), sphere/directional lights, tint-only environment,
-no textures/cutouts, no path regularization. Everything else renders
-through the XLA wavefront. Forward-only — autodiff keeps render_sample.
+Feature matrix (``megakernel_ineligibility_reasons`` is the source of
+truth; "yes" = in-kernel with a parity test):
+
+  triangles            yes, ≤ MAX_TRIS (dense streaming trace)
+  lights               yes: sphere, directional, spot (disk/cone + MIS)
+  environment          yes: latlong map ≤ MAX_ENV_TEXELS, bilinear eval +
+                       per-pixel-pdf MIS + presampled-pool NEE (a pool is
+                       REQUIRED — CDF-search NEE stays on the wavefront)
+  textures             yes: NEAREST-filtered tint-roughness/coverage
+                       banks ≤ MAX_TEX_TEXELS (one-hot MXU fetch);
+                       filtered/metallic textures → wavefront
+  cutout/coverage      yes: stochastic transparency + coverage-aware
+                       shadow march
+  shading models       Default (incl. COAT) and Diffuse; Transmissive →
+                       wavefront
+  per-vertex tint      no → wavefront
+  path regularization  no → wavefront
+  autodiff             no — gradients keep render_sample
+
+Everything outside this matrix renders through the XLA wavefront
+(render_sample_fast logs the first disqualifying feature at INFO).
 """
 
 from __future__ import annotations
@@ -50,11 +67,17 @@ from bifrost3d_tpu.integrator.path_tracer import (
     RenderSettings,
     _reverse_halton_offsets,
 )
-from bifrost3d_tpu.lights.types import LIGHT_DIRECTIONAL, LIGHT_SPHERE
+from bifrost3d_tpu.lights.types import (LIGHT_DIRECTIONAL, LIGHT_SPHERE,
+                                        LIGHT_SPOT)
 from bifrost3d_tpu.scene.render_scene import RenderScene
 
 LANES = (8, 128)
-MAX_TRIS = 512
+# Dense-trace triangle budget: each live lane-iteration streams the whole
+# table (53 VPU flops/test at the measured 45G tests/s ceiling), so the
+# megakernel's dense trace beats the pooled wavefront's per-iteration fixed
+# costs up to ~1k triangles; beyond that the wavefront's hierarchical BVH
+# kernel wins. 1024 admits the tessellated-sphere scenes (Sphere.h: 962).
+MAX_TRIS = 1024
 MAX_MATERIALS = 32
 MAX_LIGHTS = 8
 # Texture scope: total level-0 texel budget across the bank. Fetches run as
@@ -510,40 +533,114 @@ class _Shading:
     """Per-lane constructed DefaultShading state (tiles)."""
 
     __slots__ = ("diffuse_tint", "roughness", "alpha", "specularity",
-                 "specular_scale", "specular_probability")
+                 "specular_scale", "specular_probability",
+                 "coat_scale", "coat_alpha", "coat_probability")
 
     def __init__(self, diffuse_tint, roughness, alpha, specularity,
-                 specular_scale, specular_probability):
+                 specular_scale, specular_probability,
+                 coat_scale=None, coat_alpha=None, coat_probability=None):
         self.diffuse_tint = diffuse_tint
         self.roughness = roughness
         self.alpha = alpha
         self.specularity = specularity
         self.specular_scale = specular_scale
         self.specular_probability = specular_probability
+        self.coat_scale = coat_scale
+        self.coat_alpha = coat_alpha
+        self.coat_probability = coat_probability
+
+
+_COAT_IOR = 1.5
+_COAT_SPECULARITY = 0.04
+_X_COAT = 1.0 - 1.0 / _COAT_IOR
 
 
 def _shading_create(ggx_ref, fresnel_ref, tint3, roughness, specularity,
-                    metallic, abs_cos_theta_o):
+                    metallic, abs_cos_theta_o, coat=None,
+                    coat_roughness=None):
+    """DefaultShading.create in tile form. ``coat=None`` compiles the
+    cheaper no-coat specialization (scenes without coat materials)."""
+    if coat is not None:
+        # Coat-modulated base roughness (OpenPBR eq. 86, Utils.h:363-367).
+        has_coat = coat > 0.0
+        r4 = jnp.minimum(1.0, roughness ** 4
+                         + 2.0 * _X_COAT * coat_roughness ** 4)
+        coat_mod = r4 ** 0.25
+        roughness = jnp.where(has_coat, _lerp(roughness, coat_mod, coat),
+                              roughness)
+        # Re-base specularities under the coat medium (bsdf/fresnel.py).
+        s_clamped = jnp.minimum(specularity, 0.9999)
+        base_ior = 2.0 / (1.0 - jnp.sqrt(s_clamped)) - 1.0
+        coated_diel = jnp.square((_COAT_IOR - base_ior)
+                                 / (_COAT_IOR + base_ior))
+        specularity = jnp.where(has_coat & (specularity < 1.0),
+                                _lerp(specularity, coated_diel, coat),
+                                specularity)
+        cond3 = []
+        for c in range(3):
+            sc = jnp.clip(tint3[c], 0.0, 0.9999)
+            a = sc - 1.0
+            b = 2.0 * sc + 2.0
+            d = b * b - 4.0 * a * a      # ext=0: c term == a
+            ior = (-b + jnp.sqrt(jnp.maximum(d, 0.0))) / (2.0 * a)
+            cs = jnp.square((_COAT_IOR - ior) / (_COAT_IOR + ior))
+            cs = jnp.where(jnp.isnan(cs), 1.0, cs)
+            cond3.append(jnp.where(has_coat, _lerp(tint3[c], cs, coat),
+                                   tint3[c]))
+        conductor = tuple(cond3)
+    else:
+        conductor = tint3
+
     base = _rho_lookup_rows(fresnel_ref, abs_cos_theta_o, roughness)
     full = _rho_lookup_rows(ggx_ref, abs_cos_theta_o, roughness)
     reflection_scale = 1.0 / jnp.maximum(full, 1e-5)
     rho = _lerp(base, full, specularity) * reflection_scale
     diel_transmission = 1.0 - rho
     dielectric_tint = _scale(tint3, diel_transmission)
-    m_spec = (_lerp(specularity, tint3[0], metallic),
-              _lerp(specularity, tint3[1], metallic),
-              _lerp(specularity, tint3[2], metallic))
+    m_spec = (_lerp(specularity, conductor[0], metallic),
+              _lerp(specularity, conductor[1], metallic),
+              _lerp(specularity, conductor[2], metallic))
     one_minus_metal = 1.0 - metallic
     diffuse_tint = _scale(dielectric_tint, one_minus_metal)
+
+    coat_scale = coat_alpha = coat_rho = None
+    if coat is not None:
+        # Coat layer: GGX with fixed IOR 1.5 / specularity 0.04.
+        cbase = _rho_lookup_rows(fresnel_ref, abs_cos_theta_o,
+                                 coat_roughness)
+        cfull = _rho_lookup_rows(ggx_ref, abs_cos_theta_o, coat_roughness)
+        coat_refl_scale = coat / jnp.maximum(cfull, 1e-5)
+        coat_rho_full = (_lerp(cbase, cfull, _COAT_SPECULARITY)
+                         * coat_refl_scale)
+        coat_transmission = 1.0 - coat_rho_full
+        coat_alpha_full = jnp.maximum(MIN_ALPHA,
+                                      coat_roughness * coat_roughness)
+        coat_scale = jnp.where(has_coat, coat_refl_scale, 0.0)
+        coat_alpha = jnp.where(has_coat, coat_alpha_full, 0.0)
+        coat_rho = jnp.where(has_coat, coat_rho_full, 0.0)
+        reflection_scale = jnp.where(
+            has_coat, reflection_scale * coat_transmission,
+            reflection_scale)
+        diffuse_tint = _where3(has_coat,
+                               _scale(diffuse_tint, coat_transmission),
+                               diffuse_tint)
+
     spec_rho = (_lerp(base, full, m_spec[0]) * reflection_scale,
                 _lerp(base, full, m_spec[1]) * reflection_scale,
                 _lerp(base, full, m_spec[2]) * reflection_scale)
     diffuse_rho_sum = diffuse_tint[0] + diffuse_tint[1] + diffuse_tint[2]
     specular_rho_sum = spec_rho[0] + spec_rho[1] + spec_rho[2]
-    recip = 1.0 / jnp.maximum(diffuse_rho_sum + specular_rho_sum, 1e-9)
     alpha = jnp.maximum(MIN_ALPHA, roughness * roughness)
+    if coat is None:
+        recip = 1.0 / jnp.maximum(diffuse_rho_sum + specular_rho_sum, 1e-9)
+        return _Shading(diffuse_tint, roughness, alpha, m_spec,
+                        reflection_scale, specular_rho_sum * recip)
+    coat_rho_sum = 3.0 * coat_rho
+    recip = 1.0 / jnp.maximum(
+        diffuse_rho_sum + specular_rho_sum + coat_rho_sum, 1e-9)
     return _Shading(diffuse_tint, roughness, alpha, m_spec,
-                    reflection_scale, specular_rho_sum * recip)
+                    reflection_scale, specular_rho_sum * recip,
+                    coat_scale, coat_alpha, coat_rho_sum * recip)
 
 
 def _shading_evaluate_with_pdf(sh: _Shading, wo, wi):
@@ -554,17 +651,45 @@ def _shading_evaluate_with_pdf(sh: _Shading, wo, wi):
     s_pdf = _ggx_r_pdf(sh.alpha, wo, wi)
     sp = sh.specular_probability
     f = _add(_scale(sh.diffuse_tint, d_scalar), _scale(s_f, sh.specular_scale))
-    pdf = d_pdf * (1.0 - sp) + s_pdf * sp
+    if sh.coat_scale is not None:
+        cp = sh.coat_probability
+        spec04 = (_COAT_SPECULARITY, _COAT_SPECULARITY, _COAT_SPECULARITY)
+        c_f = _ggx_r_evaluate(sh.coat_alpha, spec04, wo, wi)
+        c_pdf = _ggx_r_pdf(sh.coat_alpha, wo, wi)
+        f = _add(f, _scale(c_f, sh.coat_scale))
+        pdf = d_pdf * (1.0 - sp - cp) + s_pdf * sp + c_pdf * cp
+    else:
+        pdf = d_pdf * (1.0 - sp) + s_pdf * sp
     zero = jnp.zeros_like(pdf)
     return (_where3(frontside, f, (zero, zero, zero)),
             jnp.where(frontside, pdf, 0.0))
 
 
 def _shading_sample(sh: _Shading, wo, u0, u1, u2):
-    sample_specular = u2 < sh.specular_probability
     wi_dif = _eon_sample(sh.roughness, wo, u0, u1)
     wi_spec, spec_pdf, spec_delta, spec_f = _ggx_r_sample(
         sh.alpha, sh.specularity, wo, u0, u1)
+    if sh.coat_scale is not None:
+        cp = sh.coat_probability
+        sample_coat = u2 < cp
+        sample_specular = ~sample_coat & (u2 < cp + sh.specular_probability)
+        spec04 = (_COAT_SPECULARITY, _COAT_SPECULARITY, _COAT_SPECULARITY)
+        wi_coat, coat_pdf, coat_delta, coat_f = _ggx_r_sample(
+            sh.coat_alpha, spec04, wo, u0, u1)
+        wi = _where3(sample_coat, wi_coat,
+                     _where3(sample_specular, wi_spec, wi_dif))
+        f, pdf = _shading_evaluate_with_pdf(sh, wo, wi)
+        frontside = wo[2] > _MIN_COS
+        pdf = jnp.where(frontside, pdf, 0.0)
+        delta_s = sample_specular & spec_delta
+        delta_c = sample_coat & coat_delta
+        is_delta = delta_s | delta_c
+        pdf = jnp.where(delta_s, sh.specular_probability, pdf)
+        pdf = jnp.where(delta_c, cp, pdf)
+        f = _where3(delta_s, _scale(spec_f, sh.specular_scale), f)
+        f = _where3(delta_c, _scale(coat_f, sh.coat_scale), f)
+        return wi, pdf, is_delta & frontside, f
+    sample_specular = u2 < sh.specular_probability
     wi = _where3(sample_specular, wi_spec, wi_dif)
     f, pdf = _shading_evaluate_with_pdf(sh, wo, wi)
     frontside = wo[2] > _MIN_COS
@@ -573,6 +698,45 @@ def _shading_sample(sh: _Shading, wo, u0, u1, u2):
     pdf = jnp.where(is_delta, sh.specular_probability, pdf)
     f = _where3(is_delta, _scale(spec_f, sh.specular_scale), f)
     return wi, pdf, is_delta & frontside, f
+
+
+# ---------------------------------------------------------------------------
+# Shading-model dispatch (path_tracer._ShadingBundle analogue)
+# ---------------------------------------------------------------------------
+
+def _model_evaluate_with_pdf(sh, tint3, rough, model, has_diffuse, wo, wi):
+    """Per-lane model select: DefaultShading vs DiffuseShading
+    (DiffuseShading.h:21-50 = EON only, raw textured tint/roughness)."""
+    f, pdf = _shading_evaluate_with_pdf(sh, wo, wi)
+    if has_diffuse:
+        frontside = (wo[2] > _MIN_COS) & (wi[2] > _MIN_COS)
+        d_scalar = _eon_evaluate_scalar(rough, wo, wi)
+        d_pdf = _eon_pdf(rough, wo, wi)
+        zero = jnp.zeros_like(d_pdf)
+        fd = _where3(frontside, _scale(tint3, d_scalar), (zero, zero, zero))
+        pd = jnp.where(frontside, d_pdf, 0.0)
+        sel = model == 1.0
+        f = _where3(sel, fd, f)
+        pdf = jnp.where(sel, pd, pdf)
+    return f, pdf
+
+
+def _model_sample(sh, tint3, rough, model, has_diffuse, wo, u0, u1, u2):
+    wi, pdf, is_delta, f = _shading_sample(sh, wo, u0, u1, u2)
+    if has_diffuse:
+        wi_d = _eon_sample(rough, wo, u0, u1)
+        front_o = wo[2] > _MIN_COS
+        d_scalar = _eon_evaluate_scalar(rough, wo, wi_d)
+        d_pdf = _eon_pdf(rough, wo, wi_d)
+        zero = jnp.zeros_like(d_pdf)
+        fd = _where3(front_o, _scale(tint3, d_scalar), (zero, zero, zero))
+        pd = jnp.where(front_o, d_pdf, 0.0)
+        sel = model == 1.0
+        wi = _where3(sel, wi_d, wi)
+        pdf = jnp.where(sel, pd, pdf)
+        f = _where3(sel, fd, f)
+        is_delta = is_delta & ~sel
+    return wi, pdf, is_delta, f
 
 
 # ---------------------------------------------------------------------------
@@ -695,6 +859,126 @@ def _fetch_attrs(attr_ref, prim):
     return [jnp.concatenate(per_attr[a], axis=0) for a in range(a_rows)]
 
 
+# ---------------------------------------------------------------------------
+# Transcendentals Mosaic lacks (Cephes-style f32 approximations)
+# ---------------------------------------------------------------------------
+
+def _atan_pos(x):
+    """arctan for x >= 0, Cephes atanf 3-segment reduction (~1e-7 abs)."""
+    t_lo = 0.4142135623730950   # tan(pi/8)
+    t_hi = 2.414213562373095    # tan(3pi/8)
+    big = x > t_hi
+    mid = (x > t_lo) & ~big
+    z = jnp.where(big, -1.0 / jnp.maximum(x, 1e-30),
+                  jnp.where(mid, (x - 1.0) / (x + 1.0), x))
+    off = jnp.where(big, PI / 2, jnp.where(mid, PI / 4, 0.0))
+    z2 = z * z
+    p = (((8.05374449538e-2 * z2 - 1.38776856032e-1) * z2
+          + 1.99777106478e-1) * z2 - 3.33329491539e-1)
+    return off + z + z * z2 * p
+
+
+def _atan2_tile(y, x):
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    w = _atan_pos(ay / jnp.maximum(ax, 1e-30))
+    a = jnp.where(x >= 0.0, w, PI - w)
+    a = jnp.where(ax == 0.0, PI / 2, a)       # x == 0 → ±π/2 (or 0 if y==0)
+    a = jnp.where((ax == 0.0) & (ay == 0.0), 0.0, a)
+    return jnp.where(y < 0.0, -a, a)
+
+
+def _asin_tile(v):
+    v = jnp.clip(v, -1.0, 1.0)
+    return _atan2_tile(v, jnp.sqrt(jnp.maximum(1.0 - v * v, 0.0)))
+
+
+def _fetch_2d(table_ref, idx, base_row, rows_per_attr, n_attrs):
+    """Fetch ``n_attrs`` attributes of a table packed as
+    ``(n_attrs × rows_per_attr, 128)`` at per-lane f32 flat indices
+    ``idx`` (8,128) → list of n_attrs (8,128) tiles.
+
+    Two-stage one-hot: a single (128,128) column one-hot per sublane row
+    selects ``idx % 128`` across ALL attribute rows in one MXU matmul;
+    a masked sublane reduction then picks row ``idx // 128``. Peak
+    transient is the (A·R, 128) column-gathered block — this replaced a
+    flat (N,128) one-hot whose unrolled chunks blew the 16 MB VMEM stack
+    for N = 8192 pool tables."""
+    R = rows_per_attr
+    inv128 = np.float32(1.0 / 128.0)
+    row = jnp.floor(idx * inv128)
+    col = idx - row * 128.0
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0
+                                      ).astype(jnp.float32)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0
+                                      ).astype(jnp.float32)
+    tab = table_ref[base_row:base_row + n_attrs * R, :]   # (A*R, 128)
+    outs = [[] for _ in range(n_attrs)]
+    for s in range(8):
+        onehot = (iota_c == col[s:s + 1, :]).astype(jnp.float32)
+        tmp = jax.lax.dot_general(
+            tab, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)          # (A*R, 128)
+        rmask = (iota_r == row[s:s + 1, :]).astype(jnp.float32)
+        for a in range(n_attrs):
+            outs[a].append(jnp.sum(rmask * tmp[a * R:(a + 1) * R, :],
+                                   axis=0, keepdims=True))
+    return [jnp.concatenate(o, axis=0) for o in outs]
+
+
+# ---------------------------------------------------------------------------
+# Environment (latlong eval + per-pixel pdf + presampled-pool NEE)
+# ---------------------------------------------------------------------------
+
+def _dir_to_latlong_uv(d):
+    """lights/environment.py direction_to_latlong_uv in tile form."""
+    u = (_atan2_tile(d[2], d[0]) + PI) * (0.5 / PI)
+    v = (_asin_tile(d[1]) + PI * 0.5) * (1.0 / PI)
+    return u, v
+
+
+def _env_evaluate(env_img_ref, env_meta, env_tint, d):
+    """Bilinear latlong radiance fetch × tint (environment_evaluate)."""
+    w, h = env_meta[0], env_meta[1]
+    u, v = _dir_to_latlong_uv(d)
+    x = u * np.float32(w) - 0.5
+    y = v * np.float32(h) - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0w = x0 - np.float32(w) * jnp.floor(x0 / np.float32(w))
+    x1 = x0 + 1.0
+    x1w = x1 - np.float32(w) * jnp.floor(x1 / np.float32(w))
+    y0c = jnp.clip(y0, 0.0, np.float32(h - 1))
+    y1c = jnp.clip(y0 + 1.0, 0.0, np.float32(h - 1))
+    r_img = env_meta[6]
+    p00 = _fetch_2d(env_img_ref, y0c * np.float32(w) + x0w, 0, r_img, 3)
+    p10 = _fetch_2d(env_img_ref, y0c * np.float32(w) + x1w, 0, r_img, 3)
+    p01 = _fetch_2d(env_img_ref, y1c * np.float32(w) + x0w, 0, r_img, 3)
+    p11 = _fetch_2d(env_img_ref, y1c * np.float32(w) + x1w, 0, r_img, 3)
+    out = []
+    for c in range(3):
+        top = p00[c] * (1.0 - fx) + p10[c] * fx
+        bot = p01[c] * (1.0 - fx) + p11[c] * fx
+        out.append((top * (1.0 - fy) + bot * fy) * env_tint[c])
+    return tuple(out)
+
+
+def _env_pdf(env_pdf_ref, env_meta, d):
+    """environment_pdf: per-pixel solid-angle pdf / sinθ (tile form)."""
+    pw, ph = env_meta[2], env_meta[3]
+    u, v = _dir_to_latlong_uv(d)
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - d[1] * d[1], 0.0))
+    xi = jnp.clip(jnp.floor(u * np.float32(pw)), 0.0, np.float32(pw - 1))
+    yi = jnp.clip(jnp.floor(v * np.float32(ph)), 0.0, np.float32(ph - 1))
+    pdf = _fetch_2d(env_pdf_ref, yi * np.float32(pw) + xi, 0,
+                    env_meta[7], 1)[0]
+    pdf = pdf / jnp.maximum(sin_theta, 1e-10)
+    return jnp.where(sin_theta == 0.0, 0.0, pdf)
+
+
 def _material_coverage(mats_ref, mat_idx, one):
     """Per-lane material coverage / cutout threshold (SMEM col 10 scan)."""
     cov = one
@@ -723,7 +1007,7 @@ def _tex_fetch_nearest(tex_ref, meta, u, v):
     one-hot MXU contraction over the flattened (8, N) texel table."""
     from bifrost3d_tpu.io.texture import WRAP_REPEAT
 
-    base, w, h, wrap_u, wrap_v, _filt = meta
+    base_row, w, h, wrap_u, wrap_v, _filt, r_tex = meta
     vv = 1.0 - v
     fu = u - jnp.floor(u) if wrap_u == WRAP_REPEAT else jnp.clip(u, 0.0, 1.0)
     fv = (vv - jnp.floor(vv) if wrap_v == WRAP_REPEAT
@@ -738,22 +1022,8 @@ def _tex_fetch_nearest(tex_ref, meta, u, v):
         y = y - np.float32(h) * jnp.floor(y / np.float32(h))
     else:
         y = jnp.clip(y, 0.0, np.float32(h - 1))
-    flat = np.float32(base) + y * np.float32(w) + x       # (8,128)
-
-    n_pad = tex_ref.shape[1]
-    tab = tex_ref[:, :]                                   # (8, N)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 128), 0
-                                    ).astype(jnp.float32)
-    outs = [[] for _ in range(4)]
-    for s in range(8):
-        onehot = (iota == flat[s:s + 1, :]).astype(jnp.float32)  # (N,128)
-        rows = jax.lax.dot_general(
-            tab, onehot, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)          # (8, 128)
-        for c in range(4):
-            outs[c].append(rows[c:c + 1, :])
-    return [jnp.concatenate(outs[c], axis=0) for c in range(4)]
+    flat = y * np.float32(w) + x                          # (8,128)
+    return _fetch_2d(tex_ref, flat, base_row, r_tex, 4)
 
 
 # ---------------------------------------------------------------------------
@@ -766,7 +1036,8 @@ def _light_columns(lights_ref, k):
         px=lights_ref[k, 0], py=lights_ref[k, 1], pz=lights_ref[k, 2],
         radius=lights_ref[k, 3],
         pwx=lights_ref[k, 4], pwy=lights_ref[k, 5], pwz=lights_ref[k, 6],
-        dx=lights_ref[k, 7], dy=lights_ref[k, 8], dz=lights_ref[k, 9])
+        dx=lights_ref[k, 7], dy=lights_ref[k, 8], dz=lights_ref[k, 9],
+        cos_angle=lights_ref[k, 10])
 
 
 def _sphere_light_sample(L, lit, u0, u1):
@@ -827,6 +1098,151 @@ def _sphere_light_evaluate(L):
     return (L["pwx"] * inv, L["pwy"] * inv, L["pwz"] * inv)
 
 
+_MIN_SPOT_CONE = 1e-5
+
+
+def _ray_plane_t_tile(o, d, p, n):
+    denom = _dot(d, n)
+    safe = jnp.where(jnp.abs(denom) > 1e-9, denom, 1e-9)
+    return (_dot(p, n) - _dot(o, n)) / safe
+
+
+def _spot_light_evaluate(L, lit, direction):
+    """lights/analytic.py spot_light_evaluate, tile form → rgb tiles."""
+    ldir = (L["dx"], L["dy"], L["dz"])
+    pos = (L["px"], L["py"], L["pz"])
+    cos_theta = -_dot(ldir, direction)
+    cos_angle = L["cos_angle"]
+    radius = L["radius"]
+    norm = TWO_PI * (1.0 - cos_angle)
+    is_delta = radius == 0.0
+    diff = _sub(pos, lit)
+    d2 = _dot(diff, diff)
+    area = PI * radius * radius
+    norm = norm * jnp.where(is_delta, d2, area * cos_theta)
+    inv = 1.0 / jnp.maximum(norm, 1e-10)
+    lit_mask = cos_theta > cos_angle
+    zero = jnp.zeros_like(inv)
+    return _where3(lit_mask,
+                   (L["pwx"] * inv, L["pwy"] * inv, L["pwz"] * inv),
+                   (zero, zero, zero))
+
+
+def _spot_light_sample(L, lit, u0, u1):
+    """spot_light_sample (SpotLightImpl.h:77-131) in tile form →
+    (dir3, dist, radiance3, pdf, is_delta_tile)."""
+    ldir = (L["dx"], L["dy"], L["dz"])
+    pos = (L["px"], L["py"], L["pz"])
+    radius = L["radius"]
+    cos_angle = L["cos_angle"]
+    is_delta = radius == 0.0
+
+    to_light = _sub(pos, lit)
+    dist = jnp.sqrt(_gsafe(_dot(to_light, to_light)))
+    dir_delta = _scale(to_light, 1.0 / jnp.maximum(dist, 1e-10))
+
+    neg_ldir = _scale(ldir, -1.0)
+    t_plane = _ray_plane_t_tile(lit, neg_ldir, pos, ldir)
+    cone_radius_at = t_plane * jnp.sqrt(
+        _gsafe(1.0 - cos_angle * cos_angle, 0.0)) \
+        / jnp.maximum(cos_angle, 1e-9)
+    use_cone = (radius > cone_radius_at) & (cos_angle > _MIN_SPOT_CONE)
+
+    # Cone path (sample about the spot axis, pointing backwards).
+    cos_theta = (1.0 - u0) + u0 * cos_angle
+    sin_theta = jnp.sqrt(_gsafe(1.0 - cos_theta * cos_theta, 0.0))
+    phi = TWO_PI * u1
+    cone_local = (jnp.cos(phi) * sin_theta, jnp.sin(phi) * sin_theta,
+                  cos_theta)
+    cone_p = 1.0 / (TWO_PI * jnp.maximum(1.0 - cos_angle, 1e-10))
+    dir_cone = _scale(_to_world(cone_local, ldir), -1.0)
+    t_cone = _ray_plane_t_tile(lit, dir_cone, pos, ldir)
+    hit = _add(lit, _scale(dir_cone, t_cone))
+    off = _sub(hit, pos)
+    on_light = _dot(off, off) < radius * radius
+    ev_cone = _spot_light_evaluate(L, lit, dir_cone)
+    zero = jnp.zeros_like(t_cone)
+    rad_cone = _where3(on_light, ev_cone, (zero, zero, zero))
+
+    # Disk path (concentric mapping, Distributions.h).
+    r_safe = jnp.maximum(radius, 1e-9)
+    a = 2.0 * u0 - 1.0
+    b = 2.0 * u1 - 1.0
+    b = jnp.where(b == 0.0, 1.0, b)
+    use_a = a * a > b * b
+    rr = jnp.where(use_a, a, b) * r_safe
+    safe_a = jnp.where(a == 0.0, 1.0, a)
+    phi_d = jnp.where(use_a, (PI / 4) * (b / safe_a),
+                      (PI / 2) - (PI / 4) * (a / b))
+    dx = rr * jnp.cos(phi_d)
+    dy = rr * jnp.sin(phi_d)
+    disk_p = 1.0 / (PI * r_safe * r_safe)
+    axis_x = jnp.abs(ldir[0]) > 0.9
+    axis = (jnp.where(axis_x, 0.0, 1.0), jnp.where(axis_x, 1.0, 0.0),
+            jnp.zeros_like(ldir[0]))
+    tangent = _normalize(_cross(axis, ldir))
+    bitangent = _cross(ldir, tangent)
+    sampled = _add(pos, _add(_scale(tangent, dx), _scale(bitangent, dy)))
+    to_s = _sub(sampled, lit)
+    dist_disk = jnp.sqrt(_gsafe(_dot(to_s, to_s)))
+    dir_disk = _scale(to_s, 1.0 / jnp.maximum(dist_disk, 1e-10))
+    cos_theta_disk = -_dot(ldir, dir_disk)
+    pdf_disk = disk_p * dist_disk * dist_disk \
+        / jnp.maximum(cos_theta_disk, 1e-9)
+    rad_disk = _spot_light_evaluate(L, lit, dir_disk)
+
+    use_cone_b = use_cone & ~is_delta
+    direction = _where3(is_delta, dir_delta,
+                        _where3(use_cone_b, dir_cone, dir_disk))
+    distance = jnp.where(is_delta, dist,
+                         jnp.where(use_cone_b, t_cone, dist_disk)) \
+        * (1.0 - 1e-6)
+    ev_delta = _spot_light_evaluate(L, lit, dir_delta)
+    radiance = _where3(is_delta, ev_delta,
+                       _where3(use_cone_b, rad_cone, rad_disk))
+    pdf = jnp.where(is_delta, 1.0, jnp.where(use_cone_b, cone_p, pdf_disk))
+    return direction, distance, radiance, pdf, is_delta
+
+
+def _spot_light_pdf(L, lit, direction):
+    """spot_light_pdf in tile form."""
+    ldir = (L["dx"], L["dy"], L["dz"])
+    pos = (L["px"], L["py"], L["pz"])
+    radius = L["radius"]
+    cos_angle = L["cos_angle"]
+    cos_theta = -_dot(ldir, direction)
+    neg_ldir = _scale(ldir, -1.0)
+    t_plane = _ray_plane_t_tile(lit, neg_ldir, pos, ldir)
+    cone_radius_at = t_plane * jnp.sqrt(
+        _gsafe(1.0 - cos_angle * cos_angle, 0.0)) \
+        / jnp.maximum(cos_angle, 1e-9)
+    use_cone = (radius > cone_radius_at) & (cos_angle > _MIN_SPOT_CONE)
+    pdf_cone = 1.0 / (TWO_PI * jnp.maximum(1.0 - cos_angle, 1e-10))
+    t = _ray_plane_t_tile(lit, direction, pos, ldir)
+    hit = _add(lit, _scale(direction, t))
+    off = _sub(hit, pos)
+    on_disk = (t >= 0.0) & (_dot(off, off) < radius * radius)
+    pdf_disk = jnp.where(
+        on_disk,
+        (1.0 / (PI * jnp.maximum(radius * radius, 1e-18)))
+        * t * t / jnp.maximum(cos_theta, 1e-9), 0.0)
+    valid = (cos_theta > 0.0) & (radius > 0.0)
+    return jnp.where(valid, jnp.where(use_cone, pdf_cone, pdf_disk), 0.0)
+
+
+def _ray_spot_disk_t_tile(o, d, L):
+    """Ray vs the spot's disk (Intersect::ray_disk, LightSources.cu:40-41)."""
+    ldir = (L["dx"], L["dy"], L["dz"])
+    pos = (L["px"], L["py"], L["pz"])
+    denom = _dot(d, ldir)
+    t = _ray_plane_t_tile(o, d, pos, ldir)
+    hit = _add(o, _scale(d, t))
+    off = _sub(hit, pos)
+    on_disk = _dot(off, off) <= L["radius"] * L["radius"]
+    valid = on_disk & (jnp.abs(denom) > 1e-9) & (t > 0) & (L["radius"] > 0)
+    return jnp.where(valid, t, _BIG)
+
+
 def _ray_sphere_t_tile(o, d, L):
     op = (L["px"] - o[0], L["py"] - o[1], L["pz"] - o[2])
     b = _dot(op, d)
@@ -856,6 +1272,10 @@ def _make_kernel(cfg):
     mat_tex = cfg.get("mat_tex", ((-1, -1, 0),) * n_mats)
     tex_meta = cfg.get("tex_meta", ())
     shadow_steps = cfg.get("shadow_steps", 0)   # 0 = binary any-hit shadows
+    env_meta = cfg.get("env_meta")              # None = tint-only background
+    env_nee = bool(env_meta and env_meta[5])
+    has_coat = cfg.get("has_coat", False)       # any material coats
+    has_diffuse = 1 in cfg.get("models_present", (0,))
     used_tex = sorted({b for mt in mat_tex for b in mt[:2] if b >= 0})
     any_cov = shadow_steps > 0 or any(
         mt[1] >= 0 or mt[2] for mt in mat_tex)
@@ -863,6 +1283,7 @@ def _make_kernel(cfg):
 
     def kernel(acc_ref, eps_ref, envt_ref, mats_ref, lights_ref,
                tri_ref, attr_ref, rho_ggx_ref, rho_fres_ref, tex_ref,
+               env_img_ref, env_pdf_ref, env_pool_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                hash_ref, act_ref, r_out, g_out, b_out, rays_out):
         accumulation = acc_ref[0]
@@ -895,10 +1316,14 @@ def _make_kernel(cfg):
             t_light = jnp.full(LANES, _BIG, jnp.float32)
             light_idx = jnp.full(LANES, -1.0, jnp.float32)
             for k, kind in enumerate(light_kinds):
-                if kind != LIGHT_SPHERE:
+                if kind == LIGHT_SPHERE:
+                    Lk = _light_columns(lights_ref, k)
+                    tk = _ray_sphere_t_tile(origin, direction, Lk)
+                elif kind == LIGHT_SPOT:
+                    Lk = _light_columns(lights_ref, k)
+                    tk = _ray_spot_disk_t_tile(origin, direction, Lk)
+                else:
                     continue
-                Lk = _light_columns(lights_ref, k)
-                tk = _ray_sphere_t_tile(origin, direction, Lk)
                 closer = tk < t_light
                 t_light = jnp.where(closer, tk, t_light)
                 light_idx = jnp.where(closer, np.float32(k), light_idx)
@@ -908,25 +1333,37 @@ def _make_kernel(cfg):
             light_hit = live & light_first & (light_idx >= 0.0)
             miss = live & ~hit_mask & ~light_first
 
-            # --- miss: environment tint ---
-            env = (envt_ref[0], envt_ref[1], envt_ref[2])
+            # --- miss: environment (map w/ MIS, or flat tint) ---
+            envt = (envt_ref[0], envt_ref[1], envt_ref[2])
+            if env_meta is not None:
+                env_rad = _env_evaluate(env_img_ref, env_meta, envt,
+                                        direction)
+                e_pdf = _env_pdf(env_pdf_ref, env_meta, direction)
+                w_env = jnp.where(bsdf_pdf > 0.0,
+                                  _mis_weight(bsdf_pdf, e_pdf), 1.0)
+                env_rad = _scale(env_rad, w_env)
+            else:
+                env_rad = (envt[0] * one, envt[1] * one, envt[2] * one)
             radiance = _add(radiance, _where3(
-                miss, (throughput[0] * env[0], throughput[1] * env[1],
-                       throughput[2] * env[2]), (zero, zero, zero)))
+                miss, _mul(throughput, env_rad), (zero, zero, zero)))
 
             # --- analytic light hit with MIS ---
-            if any(k == LIGHT_SPHERE for k in light_kinds):
+            if any(k in (LIGHT_SPHERE, LIGHT_SPOT) for k in light_kinds):
                 l_rad = (zero, zero, zero)
                 l_pdf = zero
                 for k, kind in enumerate(light_kinds):
-                    if kind != LIGHT_SPHERE:
-                        continue
                     Lk = _light_columns(lights_ref, k)
-                    ev = _sphere_light_evaluate(Lk)
-                    pk = _sphere_light_pdf(Lk, origin, direction)
+                    if kind == LIGHT_SPHERE:
+                        ev = _sphere_light_evaluate(Lk)
+                        ev = (ev[0] * one, ev[1] * one, ev[2] * one)
+                        pk = _sphere_light_pdf(Lk, origin, direction)
+                    elif kind == LIGHT_SPOT:
+                        ev = _spot_light_evaluate(Lk, origin, direction)
+                        pk = _spot_light_pdf(Lk, origin, direction)
+                    else:
+                        continue
                     sel = light_idx == np.float32(k)
-                    l_rad = _where3(sel, (ev[0] * one, ev[1] * one,
-                                          ev[2] * one), l_rad)
+                    l_rad = _where3(sel, ev, l_rad)
                     l_pdf = jnp.where(sel, pk, l_pdf)
                 use_mis = bsdf_pdf > 0.0
                 w = jnp.where(use_mis, _mis_weight(bsdf_pdf, l_pdf), 1.0)
@@ -958,6 +1395,9 @@ def _make_kernel(cfg):
             m_thin = zero
             m_emis = (zero, zero, zero)
             m_cov = one
+            m_coat = zero
+            m_coat_r = zero
+            m_model = zero
             for k in range(n_mats):
                 sel = mat_idx == np.float32(k)
                 m_tint = _where3(sel, (mats_ref[k, 0] * one,
@@ -972,6 +1412,11 @@ def _make_kernel(cfg):
                                        mats_ref[k, 9] * one), m_emis)
                 if any_cov:
                     m_cov = jnp.where(sel, mats_ref[k, 10], m_cov)
+                if has_coat:
+                    m_coat = jnp.where(sel, mats_ref[k, 11], m_coat)
+                    m_coat_r = jnp.where(sel, mats_ref[k, 12], m_coat_r)
+                if has_diffuse:
+                    m_model = jnp.where(sel, mats_ref[k, 13], m_model)
             thin_walled = m_thin > 0.5
 
             # --- textures (one-hot MXU fetch per distinct binding) ---
@@ -1049,8 +1494,11 @@ def _make_kernel(cfg):
             cos_theta_o = jnp.where(hit_from_front | thin_walled,
                                     wo[2], -wo[2])
 
-            sh = _shading_create(rho_ggx_ref, rho_fres_ref, m_tint, m_rough,
-                                 m_spec, m_metal, jnp.abs(cos_theta_o))
+            sh = _shading_create(
+                rho_ggx_ref, rho_fres_ref, m_tint, m_rough,
+                m_spec, m_metal, jnp.abs(cos_theta_o),
+                coat=m_coat if has_coat else None,
+                coat_roughness=m_coat_r if has_coat else None)
 
             # surface emission
             radiance = _add(radiance, _where3(
@@ -1061,7 +1509,8 @@ def _make_kernel(cfg):
             res_dist = zero
             res_rad = (zero, zero, zero)
             res_valid = zero
-            if n_lights > 0 and ris_count > 0:
+            n_nee_total = n_lights + (1 if env_nee else 0)
+            if n_nee_total > 0 and ris_count > 0:
                 for s in range(ris_count):
                     off = _RIS_OFFSETS[s]
                     c0 = _toroidal_shift(u_nee[0], off[0])
@@ -1069,8 +1518,8 @@ def _make_kernel(cfg):
                     c2 = _toroidal_shift(u_nee[2], off[2])
                     c3 = _toroidal_shift(u_nee[3], off[3])
                     pick = jnp.minimum(
-                        jnp.floor(c2 * np.float32(n_lights)),
-                        np.float32(n_lights - 1))
+                        jnp.floor(c2 * np.float32(n_nee_total)),
+                        np.float32(n_nee_total - 1))
                     ls_dir = (zero, zero, zero)
                     ls_dist = zero
                     ls_rad = (zero, zero, zero)
@@ -1081,6 +1530,11 @@ def _make_kernel(cfg):
                         if kind == LIGHT_SPHERE:
                             (kd, kdist, krad, kpdf,
                              kdelta) = _sphere_light_sample(
+                                Lk, position, c0, c1)
+                            kdelta_f = jnp.where(kdelta, 1.0, 0.0)
+                        elif kind == LIGHT_SPOT:
+                            (kd, kdist, krad, kpdf,
+                             kdelta) = _spot_light_sample(
                                 Lk, position, c0, c1)
                             kdelta_f = jnp.where(kdelta, 1.0, 0.0)
                         else:  # LIGHT_DIRECTIONAL
@@ -1097,14 +1551,33 @@ def _make_kernel(cfg):
                         ls_rad = _where3(sel, krad, ls_rad)
                         ls_pdf = jnp.where(sel, kpdf, ls_pdf)
                         ls_delta = jnp.where(sel, kdelta_f, ls_delta)
+                    if env_nee:
+                        # Presampled-pool env candidate
+                        # (presampled_environment_sample): index by c0.
+                        n_pool = env_meta[4]
+                        idx = jnp.clip(jnp.floor(c0 * np.float32(n_pool)),
+                                       0.0, np.float32(n_pool - 1))
+                        got = _fetch_2d(env_pool_ref, idx, 0,
+                                        env_meta[8], 7)
+                        sel = pick == np.float32(n_lights)
+                        ls_dir = _where3(sel, (got[0], got[1], got[2]),
+                                         ls_dir)
+                        ls_dist = jnp.where(
+                            sel, jnp.full(LANES, 1e30, jnp.float32),
+                            ls_dist)
+                        ls_rad = _where3(sel, (got[3], got[4], got[5]),
+                                         ls_rad)
+                        ls_pdf = jnp.where(sel, got[6], ls_pdf)
+                        ls_delta = jnp.where(sel, 0.0, ls_delta)
                     # uniform light pick + |N·L|/pdf + MIS + material f
-                    cand = _scale(ls_rad, np.float32(n_lights))
+                    cand = _scale(ls_rad, np.float32(n_nee_total))
                     n_dot_l = _dot(sn, ls_dir)
                     safe_pdf = jnp.maximum(ls_pdf, 1e-12)
                     cand = _scale(cand, jnp.abs(n_dot_l) / safe_pdf)
                     cand = _where3(ls_pdf > 0.0, cand, (zero, zero, zero))
                     wi_c = _to_local(ls_dir, sn)
-                    f_c, bsdf_pdf_c = _shading_evaluate_with_pdf(sh, wo, wi_c)
+                    f_c, bsdf_pdf_c = _model_evaluate_with_pdf(
+                        sh, m_tint, m_rough, m_model, has_diffuse, wo, wi_c)
                     is_d = ls_delta > 0.5
                     w = jnp.where(is_d, 1.0,
                                   _mis_weight(ls_pdf, bsdf_pdf_c))
@@ -1174,8 +1647,9 @@ def _make_kernel(cfg):
             nee_valid = res_valid > 0.5
 
             # --- BSDF sampling ---
-            wi, s_pdf, s_delta, s_f = _shading_sample(
-                sh, wo, u_bsdf[0], u_bsdf[1], u_bsdf[2])
+            wi, s_pdf, s_delta, s_f = _model_sample(
+                sh, m_tint, m_rough, m_model, has_diffuse, wo,
+                u_bsdf[0], u_bsdf[1], u_bsdf[2])
             new_dir = _to_world(wi, sn)
             is_reflection = wi[2] >= 0.0
             cos_geo = _dot(new_dir, gf)
@@ -1246,15 +1720,31 @@ def megakernel_ineligibility_reasons(scene: RenderScene,
         elif t > MAX_TRIS:
             reasons.append(f"{t} triangles > MAX_TRIS {MAX_TRIS}")
         if scene.environment is not None:
-            reasons.append("environment map")
+            env = scene.environment
+            h, w = int(env.image.shape[0]), int(env.image.shape[1])
+            if h * w > MAX_ENV_TEXELS:
+                reasons.append(f"environment map {h}x{w} > MAX_ENV_TEXELS "
+                               f"{MAX_ENV_TEXELS}")
+            ph, pw = env.pdf_size
+            if int(ph) * int(pw) > MAX_ENV_PDF:
+                reasons.append(f"environment pdf grid {ph}x{pw} > "
+                               f"MAX_ENV_PDF {MAX_ENV_PDF}")
+            pool = scene.environment_presampled
+            if pool is None:
+                reasons.append("environment without presampled pool "
+                               "(build_render_scene presample_environment)")
+            elif pool.sample_count > MAX_ENV_POOL:
+                reasons.append(f"environment pool {pool.sample_count} > "
+                               f"MAX_ENV_POOL {MAX_ENV_POOL}")
+            if not settings.use_presampled_environment:
+                reasons.append("CDF-search environment NEE "
+                               "(use_presampled_environment=False)")
         mats = scene.materials
         if mats.count == 0 or mats.count > MAX_MATERIALS:
             reasons.append(f"{mats.count} materials outside "
                            f"[1, {MAX_MATERIALS}]")
-        if not bool(np.all(np.asarray(mats.shading_model) == 0)):
-            reasons.append("Diffuse/Transmissive shading model")
-        if not bool(np.all(np.asarray(mats.coat) == 0.0)):
-            reasons.append("coat")
+        if bool(np.any(np.asarray(mats.shading_model) == 2)):
+            reasons.append("Transmissive shading model")
         if bool(np.any(np.asarray(mats.metallic_texture) >= 0)):
             reasons.append("metallic textures")
         # Tint-roughness / coverage textures ARE in scope when the bank's
@@ -1286,8 +1776,9 @@ def megakernel_ineligibility_reasons(scene: RenderScene,
             reasons.append(f"{kinds.shape[0]} lights > MAX_LIGHTS "
                            f"{MAX_LIGHTS}")
         if not bool(np.all((kinds == LIGHT_SPHERE)
-                           | (kinds == LIGHT_DIRECTIONAL))):
-            reasons.append("spot lights")
+                           | (kinds == LIGHT_DIRECTIONAL)
+                           | (kinds == LIGHT_SPOT))):
+            reasons.append("unknown light kind")
         if settings.path_regularization_scale > 0.0:
             reasons.append("path regularization")
         if settings.next_event_sample_count > 8:
@@ -1363,6 +1854,67 @@ def _pack_scene(scene: RenderScene):
     return packed
 
 
+def _pack2d(flat_attrs):
+    """[N, A] numpy → ((A*R, 128) table, R) with R = ceil(N/128) — the
+    _fetch_2d layout: attribute a's value for flat index i sits at
+    [a*R + i//128, i%128]."""
+    n, a_cnt = flat_attrs.shape
+    r = max(1, (n + 127) // 128)
+    out = np.zeros((a_cnt * r, 128), np.float32)
+    padded = np.zeros((r * 128, a_cnt), np.float32)
+    padded[:n] = flat_attrs
+    for a in range(a_cnt):
+        out[a * r:(a + 1) * r] = padded[:, a].reshape(r, 128)
+    rows_pad = ((out.shape[0] + 7) // 8) * 8
+    return np.pad(out, ((0, rows_pad - out.shape[0]), (0, 0))), r
+
+
+_ENV_CACHE = {}
+MAX_ENV_TEXELS = 4096    # latlong radiance map budget (h*w)
+MAX_ENV_PDF = 8192       # pdf grid budget (ph*pw; 128-row min → 128×64 max)
+MAX_ENV_POOL = 8192      # presampled pool entries
+
+
+def _pack_env(scene: RenderScene):
+    """Environment tables for the kernel: flattened latlong radiance
+    (8, hw_pad; rows 0-2 rgb), per-pixel pdf (8, n_pad; row 0), and the
+    presampled NEE pool (8, n_pad; rows 0-2 direction, 3-5 radiance,
+    6 pdf) + static meta (w, h, pw, ph, n_pool, nee_enabled). Cached per
+    environment identity."""
+    env = scene.environment
+    dummy = np.zeros((8, 128), np.float32)
+    if env is None:
+        return dummy, dummy, dummy, None
+    key = id(env.image)
+    if key in _ENV_CACHE:
+        e = _ENV_CACHE[key]
+        return e[0], e[1], e[2], e[3]
+    if len(_ENV_CACHE) > 16:
+        _ENV_CACHE.clear()
+    img = np.asarray(env.image, np.float32)              # [h, w, 3]
+    h, w = img.shape[0], img.shape[1]
+    img_tab, r_img = _pack2d(img.reshape(h * w, 3))
+
+    pdf = np.asarray(env.per_pixel_pdf, np.float32)      # [ph, pw]
+    ph, pw = pdf.shape
+    pdf_tab, r_pdf = _pack2d(pdf.reshape(-1, 1))
+
+    pool = scene.environment_presampled
+    if pool is not None and pool.nee_enabled:
+        n_pool = pool.sample_count
+        pool_flat = np.concatenate([
+            np.asarray(pool.directions, np.float32),
+            np.asarray(pool.radiances, np.float32),
+            np.asarray(pool.pdfs, np.float32)[:, None]], axis=1)  # [n, 7]
+        pool_tab, r_pool = _pack2d(pool_flat)
+    else:
+        n_pool = 0
+        pool_tab, r_pool = dummy, 1
+    meta = (w, h, pw, ph, n_pool, n_pool > 1, r_img, r_pdf, r_pool)
+    _ENV_CACHE[key] = (img_tab, pdf_tab, pool_tab, meta, env.image)
+    return img_tab, pdf_tab, pool_tab, meta
+
+
 _TEX_CACHE = {}
 
 
@@ -1385,19 +1937,16 @@ def _pack_textures(scene: RenderScene):
     filters = np.asarray(bank.filters)
     wraps = np.asarray(bank.wraps)
     metas = []
-    cols = []
-    base = 0
+    blocks = []
+    base_row = 0
     for i in range(n):
         h, w = int(sizes[i, 0]), int(sizes[i, 1])
-        texels = data[i, :h, :w, :].reshape(h * w, 4)
-        cols.append(texels)
-        metas.append((base, w, h, int(wraps[i, 0]), int(wraps[i, 1]),
-                      int(filters[i])))
-        base += h * w
-    flat = np.concatenate(cols, axis=0)          # [N, 4]
-    n_pad = max(8, ((flat.shape[0] + 127) // 128) * 128)
-    tab = np.zeros((8, n_pad), np.float32)
-    tab[0:4, :flat.shape[0]] = flat.T
+        block, r = _pack2d(data[i, :h, :w, :].reshape(h * w, 4))
+        blocks.append(block)
+        metas.append((base_row, w, h, int(wraps[i, 0]), int(wraps[i, 1]),
+                      int(filters[i]), r))
+        base_row += block.shape[0]
+    tab = np.concatenate(blocks, axis=0)         # [(Σ 4*R_i)_pad8, 128]
     meta = tuple(metas)
     _TEX_CACHE[key] = (tab, meta, bank.data)     # pin the keyed array
     return tab, meta
@@ -1429,10 +1978,13 @@ def _live_tables(scene: RenderScene):
             # Coverage — or the cutout threshold (shared storage,
             # Material.h:84-85).
             f32(mats.coverage).reshape(m, 1),
-            jnp.zeros((m, 1), jnp.float32),
+            f32(mats.coat).reshape(m, 1),
+            f32(mats.coat_roughness).reshape(m, 1),
+            f32(mats.shading_model).reshape(m, 1),
+            jnp.zeros((m, 2), jnp.float32),
         ], axis=1)
     else:
-        mat_tab = jnp.zeros((1, 12), jnp.float32)
+        mat_tab = jnp.zeros((1, 16), jnp.float32)
 
     lights = scene.lights
     n_l = lights.count
@@ -1442,7 +1994,8 @@ def _live_tables(scene: RenderScene):
             f32(lights.radius).reshape(n_l, 1),
             f32(lights.power).reshape(n_l, 3),
             f32(lights.direction).reshape(n_l, 3),
-            jnp.zeros((n_l, 2), jnp.float32),
+            f32(lights.cos_angle).reshape(n_l, 1),
+            jnp.zeros((n_l, 1), jnp.float32),
         ], axis=1)
     else:
         light_tab = jnp.zeros((1, 12), jnp.float32)
@@ -1459,7 +2012,7 @@ def _static_info(scene: RenderScene):
     must run one eager dispatch (or prewarm_megakernel) first."""
     key = (id(scene.lights.kind), id(scene.materials.flags),
            id(scene.materials.tint_roughness_texture),
-           id(scene.materials.coverage_texture))
+           id(scene.materials.coverage_texture), id(scene.materials.coat))
     if key in _STATIC_CACHE:
         return _STATIC_CACHE[key][0]
     if len(_STATIC_CACHE) > 32:
@@ -1474,6 +2027,7 @@ def _static_info(scene: RenderScene):
                     np.asarray(mats.tint_roughness_texture),
                     np.asarray(mats.coverage_texture),
                     np.asarray(mats.flags))),
+            has_coat=bool(np.any(np.asarray(mats.coat) > 0.0)),
         )
     except jax.errors.TracerArrayConversionError as e:
         raise RuntimeError(
@@ -1491,6 +2045,7 @@ def prewarm_megakernel(scene: RenderScene) -> None:
     megakernel dispatches work from inside a caller's jit."""
     _pack_scene(scene)
     _pack_textures(scene)
+    _pack_env(scene)
     _static_info(scene)
 
 
@@ -1516,32 +2071,42 @@ def render_mesh_megakernel(scene: RenderScene, camera, width: int,
     mat_tab, n_mats, light_tab = _live_tables(scene)
     rho_ggx, rho_fres = _rho_tables()
     tex_tab, tex_meta = _pack_textures(scene)
+    env_img, env_pdf, env_pool, env_meta = _pack_env(scene)
     info = _static_info(scene)
     light_kinds = info["light_kinds"]
     mat_tex = info["mat_tex"]
     shadow_steps = (settings.shadow_coverage_steps
                     if settings.coverage_aware_shadows else 0)
+    # With an environment map the tint slot carries the env's own tint
+    # (environment_evaluate multiplies it); tint-only backgrounds keep
+    # the scene-level environment_tint.
+    tint = (scene.environment.tint if scene.environment is not None
+            else scene.environment_tint)
     return _render_packed(
         packed["tri"], packed["attr"], jnp.asarray(mat_tab),
         jnp.asarray(light_tab), rho_ggx, rho_fres, jnp.asarray(tex_tab),
-        jnp.asarray(scene.environment_tint, jnp.float32),
+        jnp.asarray(env_img), jnp.asarray(env_pdf), jnp.asarray(env_pool),
+        jnp.asarray(tint, jnp.float32),
         jnp.asarray(scene.scene_epsilon, jnp.float32).reshape(1),
         camera, accumulation,
         width=width, height=height,
         n_tris=packed["n_tris"], n_mats=n_mats,
         light_kinds=light_kinds, settings=settings,
         mat_tex=mat_tex, tex_meta=tex_meta, shadow_steps=shadow_steps,
-        interpret=interpret)
+        env_meta=env_meta, has_coat=info["has_coat"], interpret=interpret)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "n_tris", "n_mats",
                                    "light_kinds", "settings", "mat_tex",
-                                   "tex_meta", "shadow_steps", "interpret"))
+                                   "tex_meta", "shadow_steps", "env_meta",
+                                   "has_coat", "interpret"))
 def _render_packed(tri, attr, mats, lights, rho_ggx, rho_fres, tex_tab,
+                   env_img, env_pdf, env_pool,
                    env_tint, eps, camera, accumulation, *, width: int,
                    height: int, n_tris: int, n_mats: int, light_kinds: tuple,
                    settings: RenderSettings, mat_tex: tuple = (),
                    tex_meta: tuple = (), shadow_steps: int = 0,
+                   env_meta=None, has_coat: bool = False,
                    interpret: bool = False):
     from bifrost3d_tpu.sampling.hashes import pcg2d
     from bifrost3d_tpu.sampling.sobol import Dimension, path_rng_4d
@@ -1582,6 +2147,8 @@ def _render_packed(tri, attr, mats, lights, rho_ggx, rho_fres, tex_tab,
         firefly_clamp=settings.firefly_clamp,
         delta_light_clamp=settings.delta_light_clamp,
         mat_tex=mat_tex, tex_meta=tex_meta, shadow_steps=shadow_steps,
+        env_meta=env_meta, has_coat=has_coat,
+        models_present=settings.shading_models_present,
     )
     out_shape = [jax.ShapeDtypeStruct((n_blocks * LANES[0], LANES[1]),
                                       jnp.float32)] * 4
@@ -1590,14 +2157,21 @@ def _render_packed(tri, attr, mats, lights, rho_ggx, rho_fres, tex_tab,
         grid=(n_blocks,),
         in_specs=[smem, smem, smem, smem, smem,
                   vmem, vmem, vmem, vmem, vmem,
+                  vmem, vmem, vmem,
                   block, block, block, block, block, block,
                   block, block],
         out_specs=[block] * 4,
         out_shape=out_shape,
+        # Feature-heavy configs (968-tri trace + env pool fetches ×RIS in
+        # one unrolled body) need more scoped VMEM than Mosaic's 16 MB
+        # default budget; the deep-dive measured 19.9 MB peak.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(accumulation.reshape(1), eps, env_tint,
       mats, lights,
       tri, attr, rho_ggx, rho_fres, tex_tab,
+      env_img, env_pdf, env_pool,
       tile(origin[..., 0]), tile(origin[..., 1]), tile(origin[..., 2]),
       tile(direction[..., 0]), tile(direction[..., 1]),
       tile(direction[..., 2]),

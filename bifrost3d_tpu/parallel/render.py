@@ -110,12 +110,101 @@ def make_sharded_render(mesh, width: int, height: int, settings=None,
     return render
 
 
+def silhouette_translation_boundary_grad(shifted_scene, translation, camera,
+                                         target, edges, width, height,
+                                         accumulation, settings,
+                                         samples_per_edge):
+    """Loss-adjoint-weighted silhouette boundary term → translation grad [3].
+
+    Edge-sampled estimator (diff/mesh_edge_grad.py): for
+    loss = mean((I−T)²) the boundary integrand is
+    (L₋−T(q))² − (L₊−T(q))² per channel with T bilinearly sampled at the
+    edge's image position; probe pairs share a pixel hash so estimator
+    noise is common-mode and cancels in ΔL. Replicated (a few hundred
+    probes). Shared by the geometry and the unified train steps."""
+    from bifrost3d_tpu.integrator.path_tracer import render_rays
+    from bifrost3d_tpu.sampling.hashes import pcg2d
+    from bifrost3d_tpu.scene.camera import (
+        camera_ray_directions, project_to_screen)
+    from jax.scipy.ndimage import map_coordinates
+
+    eye = camera.transform.translation
+    e = edges.v0.shape[0]
+    k = samples_per_edge
+    s = (jnp.arange(k, dtype=jnp.float32) + 0.5) / k
+    p0 = edges.v0 + translation
+    p1 = edges.v1 + translation
+    x = (p0[:, None, :] + (p1 - p0)[:, None, :] * s[None, :, None]
+         ).reshape(-1, 3)
+    view = x.reshape(e, k, 3) - eye
+    side0 = jnp.einsum("ekc,ec->ek", view, edges.n0)
+    side1 = jnp.einsum("ekc,ec->ek", view, edges.n1)
+    silhouette = (side0 * side1 <= 0.0).reshape(-1)
+
+    edge_dir = jnp.repeat(p1 - p0, k, axis=0)
+
+    def per_sample(pt, tangent):
+        def q_of(p):
+            return project_to_screen(camera, p)
+        (q, w), (dq_ds, _) = jax.jvp(q_of, (pt,), (tangent,))
+        dq_dt = jax.jacfwd(lambda d: q_of(pt + d)[0])(jnp.zeros(3))
+        return q, w, dq_ds, dq_dt
+
+    q, w, dq_ds, dq_dt = jax.vmap(per_sample)(x, edge_dir)
+    inside = (w > 0.0) & jnp.all((q >= 0.0) & (q <= 1.0), axis=-1)
+    t_len = jnp.sqrt(jnp.sum(dq_ds * dq_ds, axis=-1))
+    n_img = jnp.stack([-dq_ds[:, 1], dq_ds[:, 0]], axis=-1) \
+        / jnp.maximum(t_len, 1e-12)[:, None]
+    eps = 1.5e-3
+
+    # Same hash for both probes of a pair: the stochastic estimator
+    # noise is common-mode and cancels in ΔL.
+    xi = jnp.clip(q[:, 0] * width, 0, width - 1).astype(jnp.uint32)
+    yi = jnp.clip((1.0 - q[:, 1]) * height, 0, height - 1
+                  ).astype(jnp.uint32)
+    probe_hash, _ = pcg2d(xi, yi)
+
+    def probe(uv):
+        o, d = camera_ray_directions(camera, uv)
+        return render_rays(shifted_scene, o, d, probe_hash, accumulation,
+                           settings)
+
+    l_minus = probe(jnp.clip(q - eps * n_img, 0.0, 1.0))
+    l_plus = probe(jnp.clip(q + eps * n_img, 0.0, 1.0))
+
+    # Target bilinearly sampled at q (image row 0 = viewport v = 1).
+    ty = (1.0 - q[:, 1]) * height - 0.5
+    tx = q[:, 0] * width - 0.5
+    t_at_q = jnp.stack([
+        map_coordinates(target[..., c], [ty, tx], order=1,
+                        mode="nearest") for c in range(3)], axis=-1)
+    # loss = ∫ Σ_c (I−T)² du / 3 in continuous image space, so the
+    # boundary integrand carries the same 1/3 channel normalization.
+    delta_f = jnp.sum(jnp.square(l_minus - t_at_q)
+                      - jnp.square(l_plus - t_at_q), axis=-1) / 3.0
+    det = dq_ds[:, 0, None] * dq_dt[:, 1, :] \
+        - dq_ds[:, 1, None] * dq_dt[:, 0, :]
+    contrib = jnp.where(silhouette & inside, delta_f, 0.0)[:, None] * det
+    return jnp.sum(contrib.reshape(e, k, 3), axis=(0, 1)) / k
+
+
 def make_sharded_train_step(mesh, width: int, height: int,
-                            settings=None, learning_rate: float = 5e-2):
+                            settings=None, learning_rate: float = 5e-2,
+                            tri_range=None, object_edges=None,
+                            samples_per_edge: int = 16):
     """Sharded inverse-rendering step — the FULL training step of this
     framework (BASELINE.json north star): forward wavefront over sharded
-    pixel rows, backward through shading/lights, material-gradient
-    **all-reduce (psum over ICI)**, replicated Adam update.
+    pixel rows, backward through shading/lights, gradient **all-reduce
+    (psum over ICI)**, replicated Adam update.
+
+    Parameter pytree (VERDICT r4 #8 — the full material surface):
+    material ``tint``, ``roughness``, ``specularity``, ``metallic``,
+    ``emission``, plus ``light_power``. When ``tri_range`` (+ optionally
+    ``object_edges`` for the silhouette boundary term) is given, a
+    geometry ``translation`` [3] for that triangle range joins the pytree
+    — one unified step optimizes materials, lights, AND geometry
+    together (interior/pathwise term sharded like everything else; the
+    edge-sampled boundary term is added replicated).
 
     Returns (init_fn, step_fn):
       init_fn(scene) -> (params, opt_state)
@@ -135,10 +224,38 @@ def make_sharded_train_step(mesh, width: int, height: int,
         jnp.arange(width, dtype=jnp.uint32)[None, :], (padded_h, width))
     opt = optax.adam(learning_rate)
     denom = float(width * height * 3)
+    with_geometry = tri_range is not None
+    if with_geometry:
+        t0, t1 = tri_range
+
+    def _apply_params(scene, p):
+        mats = scene.materials._replace(
+            tint=p["tint"], roughness=p["roughness"],
+            specularity=p["specularity"], metallic=p["metallic"],
+            emission=p["emission"])
+        lights = scene.lights._replace(power=p["light_power"])
+        scene = scene._replace(materials=mats, lights=lights)
+        if with_geometry:
+            from bifrost3d_tpu.geometry.traverse import BRUTE_FORCE_MAX_TRIS
+            if int(scene.tri_verts.shape[0]) > BRUTE_FORCE_MAX_TRIS:
+                raise ValueError(
+                    "unified geometry optimization supports scenes up to "
+                    f"{BRUTE_FORCE_MAX_TRIS} triangles (stale-BVH hazard)")
+            shifted = scene.tri_verts.at[t0:t1].add(
+                p["translation"][None, None, :])
+            scene = scene._replace(tri_verts=shifted, tri_components=None,
+                                   tri_clustered=None)
+        return scene
 
     def init_fn(scene):
         params = {"tint": scene.materials.tint,
-                  "roughness": scene.materials.roughness}
+                  "roughness": scene.materials.roughness,
+                  "specularity": scene.materials.specularity,
+                  "metallic": scene.materials.metallic,
+                  "emission": scene.materials.emission,
+                  "light_power": scene.lights.power}
+        if with_geometry:
+            params["translation"] = jnp.zeros(3, jnp.float32)
         return params, opt.init(params)
 
     @partial(shard_map, mesh=mesh,
@@ -148,10 +265,8 @@ def make_sharded_train_step(mesh, width: int, height: int,
     def _loss_grad_shard(params, scene, camera, x, y, target_rows,
                          accumulation):
         def local_loss(p):
-            mats = scene.materials._replace(
-                tint=p["tint"], roughness=p["roughness"])
             img = render_sample_pixels(
-                scene._replace(materials=mats), camera, x, y, width, height,
+                _apply_params(scene, p), camera, x, y, width, height,
                 accumulation, settings)
             # Local SUM of squared error; the mean's denominator is applied
             # after the cross-device reduction. Rows >= height are padding
@@ -168,6 +283,15 @@ def make_sharded_train_step(mesh, width: int, height: int,
             lambda g: jax.lax.psum(g, TILE_AXIS) / denom, grads)
         return loss, grads
 
+    def _boundary_translation_grad(params, scene, camera, target,
+                                   accumulation):
+        """Silhouette boundary term for the unified translation parameter,
+        replicated — a few hundred probes."""
+        return silhouette_translation_boundary_grad(
+            _apply_params(scene, params), params["translation"], camera,
+            target, object_edges, width, height, accumulation, settings,
+            samples_per_edge)
+
     @jax.jit
     def step_fn(params, opt_state, scene, camera, target, accumulation):
         target_pad = jnp.zeros((padded_h, width, 3), target.dtype
@@ -175,11 +299,22 @@ def make_sharded_train_step(mesh, width: int, height: int,
         loss, grads = _loss_grad_shard(
             params, scene, camera, x_all, y_all, target_pad,
             jnp.asarray(accumulation, jnp.uint32))
+        if with_geometry and object_edges is not None:
+            grads["translation"] = grads["translation"] \
+                + _boundary_translation_grad(
+                    params, scene, camera, target,
+                    jnp.asarray(accumulation, jnp.uint32))
         updates, opt_state = opt.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
-        params = {"tint": jnp.clip(params["tint"], 0.0, 1.0),
-                  "roughness": jnp.clip(params["roughness"], 0.02, 1.0)}
-        return params, opt_state, loss
+        clipped = {"tint": jnp.clip(params["tint"], 0.0, 1.0),
+                   "roughness": jnp.clip(params["roughness"], 0.02, 1.0),
+                   "specularity": jnp.clip(params["specularity"], 0.0, 1.0),
+                   "metallic": jnp.clip(params["metallic"], 0.0, 1.0),
+                   "emission": jnp.maximum(params["emission"], 0.0),
+                   "light_power": jnp.maximum(params["light_power"], 0.0)}
+        if with_geometry:
+            clipped["translation"] = params["translation"]
+        return clipped, opt_state, loss
 
     return init_fn, step_fn
 
@@ -266,72 +401,10 @@ def make_sharded_geometry_train_step(mesh, width: int, height: int,
         return loss, grad
 
     def _boundary_grad(translation, scene, camera, target, accumulation):
-        """Loss-adjoint-weighted silhouette boundary term → [3]."""
-        edges = object_edges
-        eye = camera.transform.translation
-        e = edges.v0.shape[0]
-        k = samples_per_edge
-        s = (jnp.arange(k, dtype=jnp.float32) + 0.5) / k
-        p0 = edges.v0 + translation
-        p1 = edges.v1 + translation
-        x = (p0[:, None, :] + (p1 - p0)[:, None, :] * s[None, :, None]
-             ).reshape(-1, 3)
-        view = x.reshape(e, k, 3) - eye
-        side0 = jnp.einsum("ekc,ec->ek", view, edges.n0)
-        side1 = jnp.einsum("ekc,ec->ek", view, edges.n1)
-        silhouette = (side0 * side1 <= 0.0).reshape(-1)
-
-        from bifrost3d_tpu.scene.camera import project_to_screen
-        edge_dir = jnp.repeat(p1 - p0, k, axis=0)
-
-        def per_sample(pt, tangent):
-            def q_of(p):
-                return project_to_screen(camera, p)
-            (q, w), (dq_ds, _) = jax.jvp(q_of, (pt,), (tangent,))
-            dq_dt = jax.jacfwd(lambda d: q_of(pt + d)[0])(jnp.zeros(3))
-            return q, w, dq_ds, dq_dt
-
-        q, w, dq_ds, dq_dt = jax.vmap(per_sample)(x, edge_dir)
-        inside = (w > 0.0) & jnp.all((q >= 0.0) & (q <= 1.0), axis=-1)
-        t_len = jnp.sqrt(jnp.sum(dq_ds * dq_ds, axis=-1))
-        n_img = jnp.stack([-dq_ds[:, 1], dq_ds[:, 0]], axis=-1) \
-            / jnp.maximum(t_len, 1e-12)[:, None]
-        eps = 1.5e-3
-        shifted = _shifted(scene, translation)
-
-        from bifrost3d_tpu.integrator.path_tracer import render_rays
-        from bifrost3d_tpu.sampling.hashes import pcg2d
-
-        # Same hash for both probes of a pair: the stochastic estimator
-        # noise is common-mode and cancels in ΔL.
-        xi = jnp.clip(q[:, 0] * width, 0, width - 1).astype(jnp.uint32)
-        yi = jnp.clip((1.0 - q[:, 1]) * height, 0, height - 1
-                      ).astype(jnp.uint32)
-        probe_hash, _ = pcg2d(xi, yi)
-
-        def probe(uv):
-            o, d = camera_ray_directions(camera, uv)
-            return render_rays(shifted, o, d, probe_hash, accumulation,
-                               settings)
-
-        l_minus = probe(jnp.clip(q - eps * n_img, 0.0, 1.0))
-        l_plus = probe(jnp.clip(q + eps * n_img, 0.0, 1.0))
-
-        # Target bilinearly sampled at q (image row 0 = viewport v = 1).
-        from jax.scipy.ndimage import map_coordinates
-        ty = (1.0 - q[:, 1]) * height - 0.5
-        tx = q[:, 0] * width - 0.5
-        t_at_q = jnp.stack([
-            map_coordinates(target[..., c], [ty, tx], order=1,
-                            mode="nearest") for c in range(3)], axis=-1)
-        # loss = ∫ Σ_c (I−T)² du / 3 in continuous image space, so the
-        # boundary integrand carries the same 1/3 channel normalization.
-        delta_f = jnp.sum(jnp.square(l_minus - t_at_q)
-                          - jnp.square(l_plus - t_at_q), axis=-1) / 3.0
-        det = dq_ds[:, 0, None] * dq_dt[:, 1, :] \
-            - dq_ds[:, 1, None] * dq_dt[:, 0, :]
-        contrib = jnp.where(silhouette & inside, delta_f, 0.0)[:, None] * det
-        return jnp.sum(contrib.reshape(e, k, 3), axis=(0, 1)) / k
+        return silhouette_translation_boundary_grad(
+            _shifted(scene, translation), translation, camera, target,
+            object_edges, width, height, accumulation, settings,
+            samples_per_edge)
 
     @jax.jit
     def step_fn(translation, opt_state, scene, camera, target, accumulation):

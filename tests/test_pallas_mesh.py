@@ -120,6 +120,127 @@ def test_textured_cornell_eligible_and_matches():
     assert row.max() > 2.0 * max(row.min(), 1e-4)
 
 
+def test_sphere_scene_environment_matches_wavefront():
+    """Sphere.h: a sphere on a plane under a latlong environment map —
+    exercises the r5 megakernel env path: bilinear miss eval with MIS
+    (per-pixel pdf table) and presampled-pool NEE (the reference's
+    default env NEE, Defines.h:15)."""
+    from bifrost3d_tpu.apps.scenes import create_sphere_scene
+    from bifrost3d_tpu.integrator.pallas_mesh import (
+        megakernel_ineligibility_reasons)
+    scene, cam = create_sphere_scene()
+    assert scene.environment is not None
+    assert scene.environment_presampled is not None
+    settings = settings_for_scene(scene, max_bounce_count=2)
+    assert mesh_megakernel_eligible(scene, settings), \
+        megakernel_ineligibility_reasons(scene, settings)
+    img, _ = _compare(scene, cam, settings)
+    assert img.mean() > 0.1  # sky fills most of the frame
+
+
+def test_coated_materials_match_wavefront():
+    """Coat layer parity: coat-modulated roughness, re-based specularity,
+    and the third GGX lobe (DefaultShading.h:66-178) in tile form."""
+    from bifrost3d_tpu.apps.scenes import _trs
+    from bifrost3d_tpu.geometry.creation import make_box, make_plane, make_sphere
+    from bifrost3d_tpu.lights.types import LIGHT_SPHERE, LightArray
+    from bifrost3d_tpu.scene.materials import MaterialArray, dielectric, metal
+    from bifrost3d_tpu.scene.render_scene import build_render_scene
+    from bifrost3d_tpu.scene.camera import perspective_camera
+    from bifrost3d_tpu.integrator.pallas_mesh import (
+        megakernel_ineligibility_reasons)
+
+    mats = MaterialArray.build([
+        dielectric((0.6, 0.6, 0.6), 0.9),
+        dielectric((0.2, 0.4, 0.8), 0.1, coat=1.0, coat_roughness=0.0),
+        metal((0.95, 0.64, 0.54), 0.5, coat=0.7, coat_roughness=0.3),
+    ])
+    instances = [
+        (make_plane(size=8.0), 0, _trs((0, -0.5, 0))),
+        (make_box(size=0.7), 1, _trs((-0.6, -0.15, 0.3))),
+        (make_sphere(radius=0.4, slices=12, stacks=8), 2,
+         _trs((0.7, -0.1, 0.0))),
+    ]
+    lights = LightArray.build([
+        {"kind": LIGHT_SPHERE, "position": (1.5, 3.0, -2.0),
+         "radius": 0.4, "power": (120.0,) * 3}])
+    scene = build_render_scene(instances, mats, lights)
+    cam = perspective_camera(eye=(0, 0.8, -2.6), target=(0, -0.1, 0),
+                             fov_radians=np.pi / 4, aspect=1.0)
+    settings = settings_for_scene(scene, max_bounce_count=2)
+    assert mesh_megakernel_eligible(scene, settings), \
+        megakernel_ineligibility_reasons(scene, settings)
+    img, _ = _compare(scene, cam, settings)
+    assert img.mean() > 0.01
+
+
+def test_spot_light_matches_wavefront():
+    """Spot lights (disk-or-cone NEE sampling, disk intersection for BSDF
+    rays with MIS — SpotLightImpl.h:77-131, LightSources.cu:40-41)."""
+    from bifrost3d_tpu.apps.scenes import _trs
+    from bifrost3d_tpu.geometry.creation import make_box, make_plane
+    from bifrost3d_tpu.lights.types import LIGHT_SPOT, LightArray
+    from bifrost3d_tpu.scene.materials import MaterialArray, dielectric
+    from bifrost3d_tpu.scene.render_scene import build_render_scene
+    from bifrost3d_tpu.scene.camera import perspective_camera
+    from bifrost3d_tpu.integrator.pallas_mesh import (
+        megakernel_ineligibility_reasons)
+
+    mats = MaterialArray.build([
+        dielectric((0.7, 0.7, 0.7), 0.8),
+        dielectric((0.7, 0.2, 0.2), 0.3)])
+    instances = [
+        (make_plane(size=10.0), 0, _trs((0, -0.5, 0))),
+        (make_box(size=0.6), 1, _trs((0, -0.2, 0.2)))]
+    down = np.asarray([0.2, -1.0, 0.3], np.float32)
+    down /= np.linalg.norm(down)
+    lights = LightArray.build([
+        {"kind": LIGHT_SPOT, "position": (0.5, 2.5, -0.5),
+         "radius": 0.3, "direction": tuple(down),
+         "cos_angle": 0.8, "power": (120.0,) * 3}])
+    scene = build_render_scene(instances, mats, lights)
+    cam = perspective_camera(eye=(0, 0.8, -2.6), target=(0, -0.1, 0),
+                             fov_radians=np.pi / 4, aspect=1.0)
+    settings = settings_for_scene(scene, max_bounce_count=2)
+    assert mesh_megakernel_eligible(scene, settings), \
+        megakernel_ineligibility_reasons(scene, settings)
+    img, _ = _compare(scene, cam, settings)
+    assert img.mean() > 0.005
+
+
+def test_diffuse_shading_model_matches_wavefront():
+    """Per-lane shading-model dispatch: Diffuse (EON-only,
+    DiffuseShading.h:21-50) materials mixed with Default ones."""
+    from bifrost3d_tpu.apps.scenes import _trs
+    from bifrost3d_tpu.geometry.creation import make_box, make_plane
+    from bifrost3d_tpu.lights.types import LIGHT_SPHERE, LightArray
+    from bifrost3d_tpu.scene.materials import MaterialArray, dielectric
+    from bifrost3d_tpu.scene.render_scene import build_render_scene
+    from bifrost3d_tpu.scene.camera import perspective_camera
+    from bifrost3d_tpu.integrator.pallas_mesh import (
+        megakernel_ineligibility_reasons)
+
+    mats = MaterialArray.build([
+        dielectric((0.7, 0.7, 0.7), 0.8),
+        dict(tint=(0.2, 0.6, 0.3), roughness=0.6, shading_model=1),
+    ])
+    instances = [
+        (make_plane(size=10.0), 0, _trs((0, -0.5, 0))),
+        (make_box(size=0.6), 1, _trs((0, -0.2, 0.2)))]
+    lights = LightArray.build([
+        {"kind": LIGHT_SPHERE, "position": (1.0, 3.0, -1.5),
+         "radius": 0.4, "power": (100.0,) * 3}])
+    scene = build_render_scene(instances, mats, lights)
+    cam = perspective_camera(eye=(0, 0.8, -2.6), target=(0, -0.1, 0),
+                             fov_radians=np.pi / 4, aspect=1.0)
+    settings = settings_for_scene(scene, max_bounce_count=2)
+    assert settings.shading_models_present == (0, 1)
+    assert mesh_megakernel_eligible(scene, settings), \
+        megakernel_ineligibility_reasons(scene, settings)
+    img, _ = _compare(scene, cam, settings)
+    assert img.mean() > 0.01
+
+
 def test_ineligible_scenes_fall_back():
     from bifrost3d_tpu.apps.scenes import create_glass_scene
     scene, _ = create_glass_scene()  # transmissive shading model
