@@ -350,6 +350,77 @@ def bench_torus_grid():
             "linear_ms": dt_lin * 1e3, "vs_linear": dt_lin / dt}
 
 
+def bench_megakernel_class():
+    """The r5 megakernel scene-class widening, measured: scenes that fell
+    off the 10x cliff in r4 (textures, cutouts, env maps, coat, spots)
+    now dispatch through the megakernel. Each row: megakernel frame vs
+    the pooled wavefront on the same scene, same folded timing."""
+    import jax
+    import jax.numpy as jnp
+    from bifrost3d_tpu.apps import scenes as S
+    from bifrost3d_tpu.integrator import pallas_mesh as PM
+    from bifrost3d_tpu.integrator.path_tracer import (
+        render_sample_pooled_counted, settings_for_scene)
+
+    out = {}
+    if jax.default_backend() != "tpu":
+        return out
+    cases = [("opacity", S.create_opacity_scene),
+             ("sphere_env", S.create_sphere_scene)]
+    W = H = 512
+    for name, ctor in cases:
+        scene, cam = ctor()
+        settings = settings_for_scene(scene, max_bounce_count=4)
+        if not PM.mesh_megakernel_eligible(scene, settings):
+            out[name] = {"eligible": False}
+            continue
+        PM.prewarm_megakernel(scene)
+
+        @jax.jit
+        def mega_many():
+            acc = jnp.float32(0)
+            rays = jnp.float32(0)
+            for n in range(1, REPS + 1):
+                img, r = PM.render_mesh_megakernel(
+                    scene, cam, W, H, jnp.uint32(n), settings)
+                acc = acc + img.sum()
+                rays = r
+            return acc, rays
+
+        state = {}
+
+        def once_mega():
+            t0 = time.perf_counter()
+            acc, rays = mega_many()
+            float(acc)
+            state["rays"] = float(rays)
+            return (time.perf_counter() - t0) / REPS
+
+        float(mega_many()[0])
+        dt, spread = _measure(once_mega)
+
+        f = jax.jit(lambda n: render_sample_pooled_counted(
+            scene, cam, W, H, n, settings, 65536))
+        jax.block_until_ready(f(jnp.uint32(0)))
+
+        def once_pool():
+            t0 = time.perf_counter()
+            img, r = f(jnp.uint32(1))
+            float(img.sum())
+            state["pool_rays"] = float(r)
+            return time.perf_counter() - t0
+
+        dt_pool, _ = _measure(once_pool)
+        out[name] = {
+            "eligible": True,
+            "mega_ms": dt * 1e3, "mega_rays_per_sec": state["rays"] / dt,
+            "pooled_ms": dt_pool * 1e3,
+            "pooled_rays_per_sec": state["pool_rays"] / dt_pool,
+            "speedup": dt_pool / dt, "spread": spread,
+        }
+    return out
+
+
 def bench_material_scene():
     """The 7-shader-ball glTF MaterialScene (≥175k tris) through the full
     pooled wavefront with exact in-run ray tally."""
@@ -410,6 +481,11 @@ def main():
         "smallpt_spread": round(smallpt["spread"], 3),
     }
     result.update({k: round(v, 3) for k, v in bench_backward().items()})
+    if not quick:
+        result["megakernel_scene_class"] = {
+            name: {k: round(v, 3) if isinstance(v, float) else v
+                   for k, v in row.items()}
+            for name, row in bench_megakernel_class().items()}
     if not quick:
         result["torus_grid_590k"] = {
             k: round(v) if k in ("tris", "rays_per_sec") else round(v, 3)

@@ -173,6 +173,70 @@ def create_material_scene(environment_map=None, aspect=1.0):
 
 
 @host_build
+def create_legacy_material_scene(aspect=1.0, box_size=1.0,
+                                 sphere_radius=0.5, spacing=1.2,
+                                 floor_tint=(0.72, 0.72, 0.72),
+                                 floor_roughness=0.08,
+                                 checker_size=0.60,
+                                 floor_shift=(0.0, 0.10),
+                                 eye=(0.0, 1.2, -10.8),
+                                 target=(0.0, 0.35, 0.0)):
+    """The GOLDEN-ERA MaterialScene: nine spheres-on-boxes lerping the
+    teal dielectric → gold metal over the checkered floor, one directional
+    light — the scene revision ReferenceImages/MaterialScene_2048.png was
+    rendered from (it predates Material.cpp:28's seven shader balls; the
+    PNG shows 9 sphere-on-box pedestals). Geometry reconstructed from the
+    PNG against the unchanged camera/light of create_material_scene; the
+    strict golden gate in tests/test_golden.py pins the reconstruction."""
+    n = 9
+    mat0 = dict(tint=(0.02, 0.27, 0.33), roughness=1.0, specularity=0.04,
+                metallic=0.0)
+    mat1 = dict(tint=GOLD_TINT, roughness=0.02, specularity=0.04,
+                metallic=1.0)
+
+    floor_mesh, floor_mat, floor_tex = _checkered_floor_parts(
+        checker_size=checker_size, tint=floor_tint,
+        roughness=floor_roughness)
+    from bifrost3d_tpu.io.texture import TextureBank
+    textures = TextureBank.build([floor_tex])
+    floor_mat["tint_roughness_texture"] = 0
+
+    material_dicts = [floor_mat]
+    for m in range(n):
+        t = m / (n - 1.0)
+        material_dicts.append(dict(
+            tint=tuple(np.asarray(mat0["tint"]) * (1 - t)
+                       + np.asarray(mat1["tint"]) * t),
+            roughness=mat0["roughness"] * (1 - t) + mat1["roughness"] * t,
+            specularity=0.04,
+            metallic=t))
+    mats = MaterialArray.build(material_dicts)
+
+    instances = [(floor_mesh, 0,
+                  _trs((floor_shift[0], -1.0, floor_shift[1])))]
+    x0 = -spacing * 0.5 * (n - 1)
+    box_y = -1.0 + box_size * 0.5
+    sphere_y = -1.0 + box_size + sphere_radius
+    for m in range(n):
+        x = x0 + m * spacing
+        instances.append((make_box(size=box_size), 1 + m,
+                          _trs((x, box_y, 0))))
+        instances.append((make_sphere(radius=sphere_radius, slices=32,
+                                      stacks=16), 1 + m,
+                          _trs((x, sphere_y, 0))))
+
+    ldir = -np.asarray([20.0, 20.0, -20.0], F32)
+    ldir /= np.linalg.norm(ldir)
+    lights = LightArray.build([
+        {"kind": LIGHT_DIRECTIONAL, "direction": tuple(ldir),
+         "radiance": (3.0, 2.9, 2.5)}])
+    scene = build_render_scene(instances, mats, lights, textures=textures)
+    camera = perspective_camera(
+        eye=eye, target=target, fov_radians=PI / 4, aspect=aspect)
+    return scene, camera
+
+
+@host_build
 def create_veach_scene(with_mesh_light: bool = False, aspect=1.0):
     """Veach.h:27: the classic MIS scene — four increasingly rough plates
     reflecting three sphere lights of increasing size and equal power."""
@@ -360,6 +424,7 @@ def create_test_scene(aspect=1.0):
 SCENES = {
     "CornellBox": create_cornell_box,
     "MaterialScene": create_material_scene,
+    "MaterialSceneLegacy": create_legacy_material_scene,
     "Veach": create_veach_scene,
     "Sphere": create_sphere_scene,
     "SphereLight": create_sphere_light_scene,
