@@ -119,7 +119,8 @@ def _treelet_cut(bvh, max_size):
     return ranges, np.asarray(lo), np.asarray(hi)
 
 
-def pack_hierarchical(tri_verts, bvh=None, cut=None) -> HierTriangles:
+def pack_hierarchical(tri_verts, bvh=None, cut=None,
+                      cluster_t=None) -> HierTriangles:
     """[t, 3, 3] world-space triangles → cluster-BVH packing.
 
     Triangle order comes from the triangle SAH BVH's depth-first leaf order
@@ -130,9 +131,16 @@ def pack_hierarchical(tri_verts, bvh=None, cut=None) -> HierTriangles:
     ``cut`` (default: module TREELET_CUT) switches the cluster partition
     to maximal ≤CLUSTER_T BVH subtrees — tighter cluster boxes at the
     price of partially filled (degenerate-padded) DMA blocks.
+
+    ``cluster_t`` overrides the cluster size (default: module CLUSTER_T,
+    the wavefront trace kernel's DMA block). The mesh megakernel packs
+    with finer clusters: its 1024-ray blocks pay leaf tests as dense
+    (cluster, 128) VPU math per sublane row, so cull granularity matters
+    more than DMA count there.
     """
     from bifrost3d_tpu.geometry.bvh import build_bvh, build_bvh_boxes
 
+    CLUSTER = CLUSTER_T if cluster_t is None else int(cluster_t)
     tv = np.asarray(tri_verts, np.float32)
     t = tv.shape[0]
     if bvh is None:
@@ -144,15 +152,15 @@ def pack_hierarchical(tri_verts, bvh=None, cut=None) -> HierTriangles:
     if cut is None:
         cut = TREELET_CUT
 
-    if cut and t > CLUSTER_T:
-        ranges, c_lo, c_hi = _treelet_cut(bvh, CLUSTER_T)
+    if cut and t > CLUSTER:
+        ranges, c_lo, c_hi = _treelet_cut(bvh, CLUSTER)
         n_clusters = len(ranges)
-        t_pad = n_clusters * CLUSTER_T
+        t_pad = n_clusters * CLUSTER
         slot_order = np.zeros(t_pad, np.int32)
         slot_valid = np.zeros(t_pad, bool)
         for i, (s, c) in enumerate(ranges):
-            slot_order[i * CLUSTER_T:i * CLUSTER_T + c] = order[s:s + c]
-            slot_valid[i * CLUSTER_T:i * CLUSTER_T + c] = True
+            slot_order[i * CLUSTER:i * CLUSTER + c] = order[s:s + c]
+            slot_valid[i * CLUSTER:i * CLUSTER + c] = True
         order = slot_order
         sorted_tv = np.zeros((t_pad, 3, 3), np.float32)
         sorted_tv[slot_valid] = tv[order[slot_valid]]
@@ -163,8 +171,8 @@ def pack_hierarchical(tri_verts, bvh=None, cut=None) -> HierTriangles:
     else:
         cut = False
         sorted_tv = tv[order]
-        t_pad = ((t + CLUSTER_T - 1) // CLUSTER_T) * CLUSTER_T
-        n_clusters = t_pad // CLUSTER_T
+        t_pad = ((t + CLUSTER - 1) // CLUSTER) * CLUSTER
+        n_clusters = t_pad // CLUSTER
         n_valid = t
 
     v0 = sorted_tv[:, 0]
@@ -174,14 +182,14 @@ def pack_hierarchical(tri_verts, bvh=None, cut=None) -> HierTriangles:
     comp = np.pad(comp, ((0, 16 - comp.shape[0]),
                          (0, t_pad - comp.shape[1])))
 
-    if cut and t > CLUSTER_T:
+    if cut and t > CLUSTER:
         pass  # exact subtree AABBs already in c_lo/c_hi
     else:
         # Cluster AABBs (bottom level) recomputed from the slices.
         pts = np.pad(sorted_tv.reshape(-1, 3),
                      ((0, (t_pad - sorted_tv.shape[0]) * 3), (0, 0)),
                      mode="edge" if t else "constant")
-        pts = pts.reshape(n_clusters, CLUSTER_T * 3, 3)
+        pts = pts.reshape(n_clusters, CLUSTER * 3, 3)
         c_lo = pts.min(axis=1)
         c_hi = pts.max(axis=1)
     cbvh = build_bvh_boxes(c_lo, c_hi, max_leaf=1)

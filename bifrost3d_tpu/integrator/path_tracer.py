@@ -106,6 +106,14 @@ class RenderSettings(NamedTuple):
     # candidates), trading HBM for FLOPs. SURVEY §7.3 #7; measured on the
     # CornellBox train step in BASELINE.md (r4 backward roofline).
     remat_bounces: bool = False
+    # Detached-replay custom VJP (VERDICT r4 #3/r5 lever): the forward
+    # pass records each bounce's hit (t, prim, u, v) and shadow
+    # transmittance — the only scene queries, all already detached — and
+    # the backward pass differentiates a REPLAY of the estimator from
+    # those records, so it never traces a ray. Gradients are identical to
+    # plain reverse-mode (the recorded quantities are stop_gradient'ed in
+    # both); the backward loses the remat path's forward re-trace.
+    detached_replay_vjp: bool = False
 
 
 def settings_for_scene(scene: RenderScene, **overrides) -> RenderSettings:
@@ -578,12 +586,34 @@ class _PathState(NamedTuple):
     active: jnp.ndarray
 
 
+class _HitRecords(NamedTuple):
+    """One wavefront iteration's scene-query results — the ONLY values the
+    estimator takes from the geometry, and (by the detached-hit design)
+    all stop_gradient'ed. Recording them makes the whole bounce loop
+    replayable without an intersector: the replay recomputes every
+    differentiable quantity (attributes, shading, RIS NEE, sampling
+    transforms) from these plus the RNG chain, which is what the
+    detached-replay VJP differentiates."""
+
+    t: jnp.ndarray             # [r] hit distance (inf on miss)
+    prim: jnp.ndarray          # [r] int32
+    u: jnp.ndarray             # [r]
+    v: jnp.ndarray             # [r]
+    shadow_trans: jnp.ndarray  # [r] NEE shadow transmittance
+
+
 def _wavefront_step(scene: RenderScene, settings: RenderSettings,
                     accumulation, state: _PathState,
-                    pixel_angle=None, live_count=None) -> _PathState:
+                    pixel_angle=None, live_count=None,
+                    replay: _HitRecords | None = None,
+                    record: bool = False):
     """``live_count`` (traced i32, optional): the pooled wavefront's sorted
     live prefix — trace kernels skip whole ray blocks past it, so drained
-    pool iterations cost O(live), not O(pool)."""
+    pool iterations cost O(live), not O(pool).
+
+    ``replay``: reuse a previous run's scene-query results instead of
+    intersecting (the detached-replay VJP's backward path — no tracing).
+    ``record``: also return this iteration's _HitRecords."""
     (origin, direction, throughput, radiance, bsdf_pdf, bsdf_was_delta,
      pixel_hash, bounce, active) = state
     eps = scene.scene_epsilon
@@ -592,14 +622,18 @@ def _wavefront_step(scene: RenderScene, settings: RenderSettings,
     # while_loop is not reverse-differentiable and geometry gradients need
     # edge-aware estimators anyway — differentiate the *estimator* (shading,
     # light sampling, throughput) with the hit query treated as a sampler.
-    hit = jax.tree.map(
-        jax.lax.stop_gradient,
-        intersect_scene(scene.bvh, scene.tri_verts,
-                      jax.lax.stop_gradient(origin),
-                      jax.lax.stop_gradient(direction), t_min=eps,
-                      tri_components=scene.tri_components,
-                      tri_clustered=scene.tri_clustered,
-                      live_count=live_count))
+    if replay is not None:
+        from bifrost3d_tpu.geometry.traverse import Hit
+        hit = Hit(t=replay.t, prim=replay.prim, u=replay.u, v=replay.v)
+    else:
+        hit = jax.tree.map(
+            jax.lax.stop_gradient,
+            intersect_scene(scene.bvh, scene.tri_verts,
+                          jax.lax.stop_gradient(origin),
+                          jax.lax.stop_gradient(direction), t_min=eps,
+                          tri_components=scene.tri_components,
+                          tri_clustered=scene.tri_clustered,
+                          live_count=live_count))
     t_light, light_idx = _intersect_analytic_lights(scene, origin, direction)
 
     light_first = t_light < hit.t
@@ -735,7 +769,9 @@ def _wavefront_step(scene: RenderScene, settings: RenderSettings,
     shadow_origin = offset_ray_origin(position,
                                       geo_normal * shadow_side[..., None])
     has_light = shade & (jnp.max(l_radiance, axis=-1) > 0.0)
-    if settings.coverage_aware_shadows:
+    if replay is not None:
+        shadow_trans = replay.shadow_trans
+    elif settings.coverage_aware_shadows:
         shadow_trans = jax.lax.stop_gradient(_shadow_transmittance(
             scene, jax.lax.stop_gradient(shadow_origin),
             jax.lax.stop_gradient(l_dir),
@@ -794,8 +830,12 @@ def _wavefront_step(scene: RenderScene, settings: RenderSettings,
               & jnp.where(shade, jnp.max(throughput, axis=-1) > 0.0, True)
               & (bounce <= settings.max_bounce_count))
 
-    return _PathState(origin, direction, throughput, radiance, bsdf_pdf,
-                      bsdf_was_delta, pixel_hash, bounce, active)
+    new_state = _PathState(origin, direction, throughput, radiance, bsdf_pdf,
+                           bsdf_was_delta, pixel_hash, bounce, active)
+    if record:
+        return new_state, _HitRecords(hit.t, hit.prim, hit.u, hit.v,
+                                      shadow_trans)
+    return new_state
 
 
 # ---------------------------------------------------------------------------
@@ -820,9 +860,27 @@ def render_sample_pixels(scene: RenderScene, camera: PinholeCamera,
     The shardable core (same contract as the SmallPT integrator): pixel
     indices are data; rows/tiles shard over the mesh.
     """
+    if settings.detached_replay_vjp:
+        return render_sample_pixels_detached(scene, camera, x, y, width,
+                                             height, accumulation, settings)
     accumulation = jnp.asarray(accumulation, jnp.uint32)
-    pixel_hash, _ = pcg2d(x, y)
+    state, shape = _pixel_lane_state(camera, x, y, width, accumulation,
+                                     height)
 
+    # Iterations = bounces + slack for coverage/backface passthrough lanes
+    # (each iteration is one shade OR one passthrough; see passthrough_slack).
+    n_iters = settings.max_bounce_count + 1 + settings.passthrough_slack
+    step = partial(_wavefront_step, scene, settings, accumulation,
+                   pixel_angle=_camera_pixel_angle(camera, height))
+    if settings.remat_bounces:
+        step = jax.checkpoint(step)
+    state = jax.lax.fori_loop(0, n_iters, lambda i, s: step(s), state)
+    return state.radiance.reshape(shape + (3,))
+
+
+def _pixel_lane_state(camera, x, y, width, accumulation, height):
+    """Camera-ray lane state for pixel coords x/y → (_PathState, shape)."""
+    pixel_hash, _ = pcg2d(x, y)
     u_cam = path_rng_4d(accumulation, pixel_hash, jnp.uint32(Dimension.CAMERA))
     jitter = jnp.where(accumulation == 0, 0.5, u_cam[..., :2])
     xf = (x.astype(jnp.float32) + jitter[..., 0]) / width
@@ -843,16 +901,84 @@ def render_sample_pixels(scene: RenderScene, camera: PinholeCamera,
         bounce=jnp.zeros(flat, jnp.uint32),
         active=jnp.isfinite(origin.reshape(flat, 3)[..., 0]),
     )
+    return state, shape
 
-    # Iterations = bounces + slack for coverage/backface passthrough lanes
-    # (each iteration is one shade OR one passthrough; see passthrough_slack).
+
+def render_sample_pixels_detached(scene: RenderScene, camera: PinholeCamera,
+                                  x, y, width: int, height: int,
+                                  accumulation,
+                                  settings: RenderSettings = RenderSettings()):
+    """render_sample_pixels under a detached-replay custom VJP.
+
+    Forward: run the wavefront normally, additionally stacking each
+    iteration's _HitRecords (5 scalars/lane/bounce — the only scene-query
+    outputs, all stop_gradient'ed in plain AD too). Backward: differentiate
+    a REPLAY of the estimator driven by those records — attribute fetch,
+    shading, RIS NEE, and the (reparameterized, hence param-differentiable)
+    sampling transforms are recomputed; no ray is ever traced. Gradients
+    match plain reverse-mode exactly; the backward drops the remat path's
+    forward re-trace (the dominant cost of the r4 backward roofline).
+    Camera/pixel cotangents are zero — differentiate scene parameters.
+    """
+    accumulation = jnp.asarray(accumulation, jnp.uint32)
     n_iters = settings.max_bounce_count + 1 + settings.passthrough_slack
-    step = partial(_wavefront_step, scene, settings, accumulation,
-                   pixel_angle=_camera_pixel_angle(camera, height))
-    if settings.remat_bounces:
-        step = jax.checkpoint(step)
-    state = jax.lax.fori_loop(0, n_iters, lambda i, s: step(s), state)
-    return state.radiance.reshape(shape + (3,))
+    pixel_angle = _camera_pixel_angle(camera, height)
+
+    @jax.custom_vjp
+    def run(scene, camera, x, y, accumulation):
+        state, shape = _pixel_lane_state(camera, x, y, width, accumulation,
+                                         height)
+        state = jax.lax.fori_loop(
+            0, n_iters,
+            lambda i, s: _wavefront_step(scene, settings, accumulation, s,
+                                         pixel_angle=pixel_angle),
+            state)
+        return state.radiance.reshape(shape + (3,))
+
+    def fwd(scene, camera, x, y, accumulation):
+        state, shape = _pixel_lane_state(camera, x, y, width, accumulation,
+                                         height)
+
+        def body(st, _):
+            st2, rec = _wavefront_step(scene, settings, accumulation, st,
+                                       pixel_angle=pixel_angle, record=True)
+            return st2, rec
+
+        state, records = jax.lax.scan(body, state, None, length=n_iters)
+        out = state.radiance.reshape(shape + (3,))
+        return out, (scene, camera, x, y, accumulation, records)
+
+    def bwd(res, g):
+        scene, camera, x, y, accumulation, records = res
+
+        def replay_fn(s):
+            st, shape = _pixel_lane_state(camera, x, y, width, accumulation,
+                                          height)
+
+            def body(stc, rec):
+                return _wavefront_step(s, settings, accumulation, stc,
+                                       pixel_angle=pixel_angle,
+                                       replay=rec), None
+
+            if settings.remat_bounces:
+                body = jax.checkpoint(body)
+            stf, _ = jax.lax.scan(body, st, records)
+            return stf.radiance.reshape(shape + (3,))
+
+        _, vjp = jax.vjp(replay_fn, scene)
+        (s_bar,) = vjp(g)
+
+        def zero_ct(a):
+            a = jnp.asarray(a)
+            if jnp.issubdtype(a.dtype, jnp.floating):
+                return jnp.zeros_like(a)
+            return np.zeros(a.shape, jax.dtypes.float0)
+
+        return (s_bar, jax.tree.map(zero_ct, camera), zero_ct(x),
+                zero_ct(y), zero_ct(accumulation))
+
+    run.defvjp(fwd, bwd)
+    return run(scene, camera, x, y, accumulation)
 
 
 # ---------------------------------------------------------------------------

@@ -388,3 +388,40 @@ class TestGeometryGradientsSecondSlice:
         assert (np.abs(g_v).sum(axis=1) > 0).sum() >= 4
         np.testing.assert_allclose(g_v.sum(axis=0), g_t, rtol=1e-4,
                                    atol=1e-7)
+
+
+def test_detached_replay_vjp_matches_plain_ad():
+    """The detached-replay custom VJP (forward records hits, backward
+    differentiates a trace-free replay) must produce bitwise-identical
+    primals and matching gradients vs plain reverse-mode — including the
+    reparameterized roughness path (wi recomputed from the RNG chain, not
+    recorded). VERDICT r4 #3 / BASELINE north-star axis."""
+    import jax
+
+    from bifrost3d_tpu.apps.scenes import create_cornell_box
+    from bifrost3d_tpu.integrator.path_tracer import (
+        render_sample, settings_for_scene)
+
+    scene, cam = create_cornell_box()
+    s_plain = settings_for_scene(scene, max_bounce_count=2)
+    s_replay = settings_for_scene(scene, max_bounce_count=2,
+                                  detached_replay_vjp=True)
+    res = 16
+
+    def loss(params, settings):
+        tint, rough = params
+        mats = scene.materials._replace(
+            tint=scene.materials.tint.at[1].set(tint),
+            roughness=scene.materials.roughness.at[1].set(rough))
+        img = render_sample(scene._replace(materials=mats), cam,
+                            res, res, jnp.uint32(0), settings)
+        return jnp.mean(img)
+
+    p0 = (scene.materials.tint[1], scene.materials.roughness[1])
+    v1, g1 = jax.value_and_grad(lambda p: loss(p, s_plain))(p0)
+    v2, g2 = jax.value_and_grad(lambda p: loss(p, s_replay))(p0)
+    assert float(v1) == float(v2)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(float(g1[1]), float(g2[1]),
+                               rtol=1e-5, atol=1e-8)
