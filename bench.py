@@ -200,31 +200,43 @@ def bench_backward():
 
     STEPS = 5
 
-    @jax.jit
-    def steps(tint):
-        def loss_fn(tint, n):
-            mats = scene.materials._replace(tint=tint)
-            img = render_sample(scene._replace(materials=mats), cam,
-                                W, H, n, settings)
-            return jnp.mean(jnp.square(img - target))
-        acc = jnp.float32(0)
-        g_sum = jnp.float32(0)
-        for n in range(1, STEPS + 1):
-            v, g = jax.value_and_grad(loss_fn)(tint, jnp.uint32(n))
-            acc = acc + v
-            g_sum = g_sum + g.sum()
-        return acc + g_sum
+    def make_steps(step_settings):
+        @jax.jit
+        def steps(tint):
+            def loss_fn(tint, n):
+                mats = scene.materials._replace(tint=tint)
+                img = render_sample(scene._replace(materials=mats), cam,
+                                    W, H, n, step_settings)
+                return jnp.mean(jnp.square(img - target))
+            acc = jnp.float32(0)
+            g_sum = jnp.float32(0)
+            for n in range(1, STEPS + 1):
+                v, g = jax.value_and_grad(loss_fn)(tint, jnp.uint32(n))
+                acc = acc + v
+                g_sum = g_sum + g.sum()
+            return acc + g_sum
+        return steps
 
-    float(steps(scene.materials.tint))
-
-    def once():
-        t0 = time.perf_counter()
+    def timed(steps):
         float(steps(scene.materials.tint))
-        return (time.perf_counter() - t0) / STEPS
 
-    dt, spread = _measure(once)
+        def once():
+            t0 = time.perf_counter()
+            float(steps(scene.materials.tint))
+            return (time.perf_counter() - t0) / STEPS
+
+        return _measure(once)
+
+    dt, spread = timed(make_steps(settings))
+    # r5: the detached-replay custom VJP (records hits forward,
+    # differentiates a trace-free replay backward).
+    dt_replay, replay_spread = timed(make_steps(
+        settings._replace(detached_replay_vjp=True)))
     return {"train_step_ms": dt * 1e3, "train_step_spread": spread,
-            "fwd_bwd_rays_per_sec": rays / dt}
+            "fwd_bwd_rays_per_sec": rays / dt,
+            "train_step_replay_vjp_ms": dt_replay * 1e3,
+            "train_step_replay_vjp_spread": replay_spread,
+            "fwd_bwd_replay_rays_per_sec": rays / dt_replay}
 
 
 def bench_smallpt():
@@ -421,6 +433,115 @@ def bench_megakernel_class():
     return out
 
 
+def bench_hier_bridge():
+    """The r5 1k→262k triangle bridge: mid-size scenes through the
+    hierarchical DMA megakernel (whole path in one kernel, cluster-BVH
+    walk per pixel tile) vs the pooled wavefront, same scenes, same
+    folded timing. These sizes fell off the 10x megakernel→wavefront
+    cliff before r5 (MAX_TRIS was 1024)."""
+    import jax
+    import jax.numpy as jnp
+    from bifrost3d_tpu.apps.scenes import _trs
+    from bifrost3d_tpu.geometry.creation import (make_box, make_plane,
+                                                 make_sphere, make_torus)
+    from bifrost3d_tpu.integrator import pallas_mesh as PM
+    from bifrost3d_tpu.integrator.path_tracer import (
+        render_sample_pooled_counted, settings_for_scene)
+    from bifrost3d_tpu.lights.types import LIGHT_SPHERE, LightArray
+    from bifrost3d_tpu.scene.camera import perspective_camera
+    from bifrost3d_tpu.scene.materials import MaterialArray, dielectric, metal
+    from bifrost3d_tpu.scene.render_scene import build_render_scene
+
+    out = {}
+    if jax.default_backend() != "tpu":
+        return out
+
+    def build(slices, stacks, extra_tori):
+        mats = MaterialArray.build([
+            dielectric((0.7, 0.7, 0.7), 0.6),
+            metal((0.95, 0.64, 0.54), 0.3),
+            dielectric((0.2, 0.4, 0.8), 0.2)])
+        instances = [
+            (make_plane(size=4.0), 0, _trs((0, -0.5, 0))),
+            (make_sphere(slices=slices, stacks=stacks), 1,
+             _trs((-0.5, 0.0, 0.2))),
+            (make_sphere(slices=slices, stacks=stacks), 2,
+             _trs((0.6, -0.1, -0.2))),
+            (make_box(size=0.5), 0, _trs((0.0, -0.3, -0.8)))]
+        for i in range(extra_tori):
+            instances.append((make_torus(0.35, 0.12, 48, 24), 1,
+                              _trs((-1.2 + 0.8 * i, 0.3, -0.6))))
+        lights = LightArray.build([
+            {"kind": LIGHT_SPHERE, "position": (0.0, 1.6, 0.5),
+             "radius": 0.2, "power": (40.0,) * 3}])
+        scene = build_render_scene(instances, mats, lights)
+        return scene, perspective_camera((0.0, 0.6, 2.4), (0.0, -0.1, 0.0))
+
+    W = H = 512
+    for args in [(40, 20, 0), (64, 40, 2), (128, 80, 4)]:
+        scene, cam = build(*args)
+        tris = int(scene.tri_verts.shape[0])
+        settings = settings_for_scene(scene, max_bounce_count=4)
+        if not PM.mesh_megakernel_eligible(scene, settings):
+            out[f"{tris}_tris"] = {"eligible": False}
+            continue
+        PM.prewarm_megakernel(scene)
+
+        @jax.jit
+        def mega_many():
+            acc = jnp.float32(0)
+            rays = jnp.float32(0)
+            for n in range(1, REPS + 1):
+                img, r = PM.render_mesh_megakernel(
+                    scene, cam, W, H, jnp.uint32(n), settings)
+                acc = acc + img.sum()
+                rays = r
+            return acc, rays
+
+        state = {}
+
+        def once_mega():
+            t0 = time.perf_counter()
+            acc, rays = mega_many()
+            float(acc)
+            state["rays"] = float(rays)
+            return (time.perf_counter() - t0) / REPS
+
+        float(mega_many()[0])
+        dt, spread = _measure(once_mega)
+
+        POOL_REPS = 3
+
+        @jax.jit
+        def pool_many():
+            acc = jnp.float32(0)
+            rays = jnp.float32(0)
+            for n in range(1, POOL_REPS + 1):
+                img, r = render_sample_pooled_counted(
+                    scene, cam, W, H, jnp.uint32(n), settings, 65536)
+                acc = acc + img.sum()
+                rays = r
+            return acc, rays
+
+        float(pool_many()[0])
+
+        def once_pool():
+            t0 = time.perf_counter()
+            acc, r = pool_many()
+            float(acc)
+            state["pool_rays"] = float(r)
+            return (time.perf_counter() - t0) / POOL_REPS
+
+        dt_pool, _ = _measure(once_pool)
+        out[f"{tris}_tris"] = {
+            "eligible": True, "tris": tris,
+            "mega_ms": dt * 1e3, "mega_rays_per_sec": state["rays"] / dt,
+            "pooled_ms": dt_pool * 1e3,
+            "pooled_rays_per_sec": state["pool_rays"] / dt_pool,
+            "speedup": dt_pool / dt, "spread": spread}
+    return out
+
+
 def bench_material_scene():
     """The 7-shader-ball glTF MaterialScene (≥175k tris) through the full
     pooled wavefront with exact in-run ray tally."""
@@ -486,6 +607,11 @@ def main():
             name: {k: round(v, 3) if isinstance(v, float) else v
                    for k, v in row.items()}
             for name, row in bench_megakernel_class().items()}
+    if not quick:
+        result["hier_bridge"] = {
+            name: {k: round(v, 3) if isinstance(v, float) else v
+                   for k, v in row.items()}
+            for name, row in bench_hier_bridge().items()}
     if not quick:
         result["torus_grid_590k"] = {
             k: round(v) if k in ("tris", "rays_per_sec") else round(v, 3)

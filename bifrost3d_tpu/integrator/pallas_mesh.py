@@ -2467,18 +2467,41 @@ def _render_packed(tri, attr, mats, lights, rho_ggx, rho_fres, tex_tab,
     # rays (and their bounce footprints) spatially tight, which is what
     # the hier walk's block-granular culling feeds on (and is harmless
     # for the dense trace: per-pixel values are mapping-invariant).
-    TILE = 32
-    tiles_x = (width + TILE - 1) // TILE
-    tiles_y = (height + TILE - 1) // TILE
-    n_blocks = tiles_x * tiles_y
-    flat = jnp.arange(n_blocks * per_block, dtype=jnp.uint32)
-    b = flat // per_block
-    k = flat % per_block
-    x = (b % tiles_x) * TILE + k % TILE
-    y = (b // tiles_x) * TILE + k // TILE
-    in_range = (x < width) & (y < height)
-    x = jnp.minimum(x, width - 1)
-    y = jnp.minimum(y, height - 1)
+    if hier:
+        # Square 32x32 image tiles per (8,128) block: a block's rays (and
+        # their bounce footprints) stay spatially tight, which feeds the
+        # hier walk's block-granular culling. Static permutation
+        # (width/height are jit statics) computed in numpy so the raster
+        # unscramble below is a GATHER by a constant index vector — a
+        # dynamic scatter costs ~4 ms/frame on TPU. The dense path keeps
+        # the identity raster layout (its flat-rate trace gains nothing
+        # and the remap measurably costs it).
+        TILE = 32
+        tiles_x = (width + TILE - 1) // TILE
+        tiles_y = (height + TILE - 1) // TILE
+        n_blocks = tiles_x * tiles_y
+        flat_np = np.arange(n_blocks * per_block)
+        b_np = flat_np // per_block
+        k_np = flat_np % per_block
+        x_np = (b_np % tiles_x) * TILE + k_np % TILE
+        y_np = (b_np // tiles_x) * TILE + k_np // TILE
+        in_range_np = (x_np < width) & (y_np < height)
+        x_np = np.minimum(x_np, width - 1)
+        y_np = np.minimum(y_np, height - 1)
+        inv_np = np.zeros(n_pixels, np.int32)
+        inv_np[(y_np * width + x_np)[in_range_np]] = flat_np[in_range_np]
+        x = jnp.asarray(x_np, jnp.uint32)
+        y = jnp.asarray(y_np, jnp.uint32)
+        in_range = jnp.asarray(in_range_np)
+        inv_perm = jnp.asarray(inv_np)
+    else:
+        n_blocks = (n_pixels + per_block - 1) // per_block
+        flat = jnp.arange(n_blocks * per_block, dtype=jnp.uint32)
+        in_range = flat < n_pixels
+        safe = jnp.minimum(flat, n_pixels - 1)
+        x = safe % width
+        y = safe // width
+        inv_perm = None
     pixel_hash, _ = pcg2d(x, y)
     u_cam = path_rng_4d(accumulation, pixel_hash, jnp.uint32(Dimension.CAMERA))
     jitter = jnp.where(accumulation == 0, 0.5, u_cam[..., :2])
@@ -2559,12 +2582,12 @@ def _render_packed(tri, attr, mats, lights, rho_ggx, rho_fres, tex_tab,
         interpret=interpret,
     )(*operands)
 
-    # Tile-order lanes scatter back to raster order (OOB lanes dropped).
-    pix = jnp.where(in_range, y * width + x, n_pixels).astype(jnp.int32)
-
-    def scat(c):
-        return jnp.zeros((n_pixels,), jnp.float32).at[pix].set(
-            c.reshape(-1), mode="drop")
-
-    img = jnp.stack([scat(r), scat(g), scat(b)], axis=-1)
+    if inv_perm is not None:
+        # Tile-order lanes gather back to raster order via the static
+        # inverse permutation (OOB lanes never appear in inv_perm).
+        img = jnp.stack([r.reshape(-1)[inv_perm], g.reshape(-1)[inv_perm],
+                         b.reshape(-1)[inv_perm]], axis=-1)
+    else:
+        img = jnp.stack([r.reshape(-1)[:n_pixels], g.reshape(-1)[:n_pixels],
+                         b.reshape(-1)[:n_pixels]], axis=-1)
     return img.reshape(height, width, 3), jnp.sum(rays)

@@ -1226,6 +1226,9 @@ def explain_render_path(scene: RenderScene,
     if jax.default_backend() != "tpu":
         reasons = [f"backend is {jax.default_backend()}, not tpu"] + reasons
     if not reasons:
+        from bifrost3d_tpu.integrator.pallas_mesh import MAX_TRIS
+        if int(scene.tri_verts.shape[0]) > MAX_TRIS:
+            return "megakernel (hier: cluster-BVH DMA trace)"
         return "megakernel"
     return "wavefront: " + ", ".join(reasons)
 
